@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Scale design notes (targets a 1000-executor cluster even though the
+sandbox runs local[N]):
+
+* AQE on: post-shuffle coalescing + skew-join splitting cover the join
+  skew from long documents (reference analogue: one video directory with
+  thousands of frames, /root/reference video/frame_pipeline.py:311-326).
+* ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a real
+  cluster set it ~2-3x total cores — AQE coalesces the excess.
+* Arrow is enabled for the vectorized UDF boundary; batch size bounded so
+  a skewed group never materializes more than ~10k rows per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ocr-dataset-builder-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` uses ``local[*]`` locally; on a cluster the master is
+    whatever spark-submit provides (we never override an existing master).
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cores_env}]" if cores_env else "local[*]"
+        n_cores = int(cores_env) if cores_env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n_cores = cores
+
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, 2 * n_cores)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    builder = builder.master(master)
+    return builder.getOrCreate()
