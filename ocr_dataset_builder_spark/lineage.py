@@ -1,0 +1,107 @@
+"""Lineage + checkpoint/resume.
+
+Replaces the reference's append-only text checkpoint logs
+(video/frame_pipeline.py:169-208, 354-363 and duplicates) with two tables:
+
+* ``checkpoint`` — one row per completed doc (doc_id, run_id, status,
+  committed_at). Resume = ``left_anti`` join of inputs against
+  status='done' (J5, reference frame_pipeline.py:241-247); stale-entry
+  pruning = ``left_semi`` against current inputs (J6, :226-238).
+* ``lineage`` — per-partition metrics rows (partition_id, doc_id range,
+  docs, frames_processed, ocr_chars, dedup_ratio, status, committed_at)
+  per the north rule.
+
+Storage is a directory of parquet appends (Iceberg-shaped: the layouts are
+table-identical; swapping in an Iceberg catalog changes only the
+writer/reader calls — the sandbox has no Iceberg runtime jar, SURVEY.md
+§7.4 risk 6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_SCHEMA = "doc_id string, run_id string, status string, committed_at timestamp"
+LINEAGE_SCHEMA = (
+    "run_id string, partition_id int, doc_id_min string, doc_id_max string, "
+    "docs bigint, frames_processed bigint, ocr_chars bigint, dedup_ratio double, "
+    "status string, committed_at timestamp"
+)
+
+
+def read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    path = os.path.join(checkpoint_dir, "checkpoint")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+    return spark.read.parquet(path)
+
+
+def read_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    path = os.path.join(checkpoint_dir, "lineage")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.parquet(path)
+
+
+def pending_docs(nested: DataFrame, checkpoint: DataFrame) -> DataFrame:
+    """J5 resume anti-join: inputs minus completed docs."""
+    done = checkpoint.where(F.col("status") == "done").select("doc_id").distinct()
+    return nested.join(done, "doc_id", "left_anti")
+
+
+def prune_stale_checkpoint(checkpoint: DataFrame, nested: DataFrame) -> DataFrame:
+    """J6 validity semi-join: checkpoint entries whose doc still exists."""
+    return checkpoint.join(nested.select("doc_id"), "doc_id", "left_semi")
+
+
+def commit_run(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    run_id: str,
+    doc_metrics: DataFrame,
+    n_partitions: int = 16,
+) -> None:
+    """Append per-doc checkpoint rows + per-partition lineage rollups.
+
+    ``doc_metrics`` columns: doc_id, frames_processed, ocr_chars,
+    dedup_ratio. Partition id is a stable hash bucket of doc_id so a
+    re-run assigns identical buckets (idempotence under retries).
+    """
+    ck = doc_metrics.select(
+        "doc_id",
+        F.lit(run_id).alias("run_id"),
+        F.lit("done").alias("status"),
+        F.current_timestamp().alias("committed_at"),
+    )
+    ck.write.mode("append").parquet(os.path.join(checkpoint_dir, "checkpoint"))
+
+    lin = (
+        doc_metrics.withColumn(
+            "partition_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("int")
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+            F.count("*").alias("docs"),
+            F.sum("frames_processed").alias("frames_processed"),
+            F.sum("ocr_chars").alias("ocr_chars"),
+            F.avg("dedup_ratio").alias("dedup_ratio"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            "doc_id_min",
+            "doc_id_max",
+            "docs",
+            "frames_processed",
+            "ocr_chars",
+            "dedup_ratio",
+            F.lit("done").alias("status"),
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+    lin.write.mode("append").parquet(os.path.join(checkpoint_dir, "lineage"))

@@ -1,0 +1,63 @@
+"""U1 — OCR stage over media spans.
+
+Reference: per-frame ``pytesseract.image_to_string`` shelling out to the
+tesseract binary (tesseract/processing.py:53-99). This sandbox has no
+tesseract and stores no frame bytes, so the OCR function is a
+**deterministic pure function of (doc_id, media_ref, offset)** — mirroring
+Tesseract being a pure function of the frame image. What IS real is the
+Spark plumbing: the stage runs as ``mapInPandas`` over partition-local
+Arrow batches (never per-row Python), exactly where a real OCR engine
+would be invoked per batch.
+
+Failure sentinels follow tesseract/pipeline.py:83-91:
+``<<< OCR_FAILED_EMPTY_TEXT >>>`` and ``<<< OCR_EXCEPTION: ... >>>``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..synth import synthetic_ocr_col
+
+OCR_FAILED_EMPTY = "<<< OCR_FAILED_EMPTY_TEXT >>>"
+OCR_EXCEPTION_PREFIX = "<<< OCR_EXCEPTION: "
+
+
+def ocr_media(media: DataFrame, use_arrow: bool = True) -> DataFrame:
+    """Attach ``ocr_text`` to media-span rows.
+
+    ``use_arrow=True`` demonstrates the production path (vectorized pandas
+    batches via mapInPandas); ``use_arrow=False`` is the pure-JVM
+    expression equivalent — both produce identical output, which the tests
+    assert.
+    """
+    if not use_arrow:
+        return media.withColumn(
+            "ocr_text",
+            synthetic_ocr_col(F.col("doc_id"), F.col("media_ref"), F.col("span_offset")),
+        )
+
+    # copy — StructType.add mutates in place, corrupting media's own schema
+    schema = StructType(list(media.schema.fields) + [StructField("ocr_text", StringType())])
+
+    def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            # <-- a real OCR engine would decode pdf['media_ref'] payloads
+            # here, batch-wise. Deterministic stand-in:
+            pdf["ocr_text"] = (
+                "OCR "
+                + pdf["doc_id"].astype(str)
+                + "/"
+                + pdf["media_ref"].astype(str)
+                + "\nline "
+                + (pdf["span_offset"] % 5).astype(str)
+            )
+            yield pdf
+
+    return media.mapInPandas(_ocr_batches, schema=schema)

@@ -1,0 +1,109 @@
+"""End-to-end extraction pipeline (SURVEY.md §7.1 minimum slice, grown).
+
+documents (nested, contract shape)
+  -> posexplode (S1)
+  -> route: media spans -> OCR stage (U1, Arrow-batched) -> cleanup (T1)
+            text  spans -> cleanup (T1)
+  -> W4 sequencing
+  -> W6 ordered span reassembly
+  -> parquet/Iceberg sink + lineage commit, anti-join resume (J5).
+
+Every stage is declarative DataFrame API; the only Python boundary is the
+vectorized OCR batch function, placed AFTER the cheap relational filters so
+Catalyst never has to push predicates through an opaque UDF (SURVEY.md §4
+note 1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.cleanup import clean_ocr_col
+from .lineage import commit_run, pending_docs, read_checkpoint
+from .operators.ocr import ocr_media
+from .operators.reassembly import reassemble_rows
+from .synth import explode_spans
+
+SPAN_COLS = ["doc_id", "span_pos", "kind", "text", "media_ref", "span_offset"]
+
+
+def extract_spans(nested: DataFrame, use_arrow_ocr: bool = True) -> DataFrame:
+    """Flagship transformation: ordered, cleaned span rows per document.
+
+    Output: (doc_id, ord, kind, text, media_ref, span_offset) where text is
+    the cleaned OCR text for media spans and the cleaned raw text for text
+    spans. `ord` is the 0-based position in the document's span sequence —
+    the invariant key (kind, text, media_ref, order).
+    """
+    flat = explode_spans(nested)
+    media = flat.where(F.col("kind") == "media")
+    text = flat.where(F.col("kind") == "text")
+
+    media_ocr = ocr_media(media, use_arrow=use_arrow_ocr).select(
+        "doc_id",
+        "span_pos",
+        "kind",
+        clean_ocr_col(F.col("ocr_text")).alias("text"),
+        "media_ref",
+        "span_offset",
+    )
+    text_clean = text.select(
+        "doc_id",
+        "span_pos",
+        "kind",
+        clean_ocr_col(F.col("text")).alias("text"),
+        "media_ref",
+        "span_offset",
+    )
+    merged = media_ocr.unionByName(text_clean)
+    return reassemble_rows(merged)
+
+
+def doc_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-doc lineage metrics: frames processed, OCR chars, dedup ratio
+    (here: fraction of spans whose text equals the previous span's text —
+    the same lag-compare the F:i encoder uses)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    with_dup = extracted.withColumn(
+        "_is_dup", (F.col("text") == F.lag("text").over(w)).cast("int")
+    )
+    return with_dup.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias(
+            "frames_processed"
+        ),
+        F.sum(F.length("text")).alias("ocr_chars"),
+        (F.sum(F.coalesce(F.col("_is_dup"), F.lit(0))) / F.count("*")).alias(
+            "dedup_ratio"
+        ),
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    nested: DataFrame,
+    output_dir: str,
+    run_id: str = "run0",
+    use_arrow_ocr: bool = True,
+) -> int:
+    """Resumable batch run: anti-join completed docs, extract, write data +
+    lineage. Returns number of docs processed this run."""
+    ck = read_checkpoint(spark, output_dir)
+    pending = pending_docs(nested, ck)
+    extracted = extract_spans(pending, use_arrow_ocr=use_arrow_ocr)
+
+    extracted.write.mode("append").parquet(os.path.join(output_dir, "extracted"))
+
+    metrics = doc_metrics(
+        spark.read.parquet(os.path.join(output_dir, "extracted")).join(
+            pending.select("doc_id"), "doc_id", "left_semi"
+        )
+    )
+    n = metrics.count()
+    if n:
+        commit_run(spark, output_dir, run_id, metrics)
+    return n
