@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship span-extraction query on sf0.001.
+queries()     -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()  -> DuckDB-equivalent SQL per query (value-level gate).
 """
 
 from __future__ import annotations
@@ -15,24 +13,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end ordered span extraction on sf0.001."""
+    from ocr_dataset_builder_spark.queries_spans import q_flagship
+
+    return q_flagship(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> dict[str, tuple]:
+    from ocr_dataset_builder_spark import queries_spans
+
+    reg: dict[str, tuple] = {}
+    reg.update(queries_spans.QUERIES)
+    try:
+        from ocr_dataset_builder_spark import queries_corpus
+
+        reg.update(queries_corpus.QUERIES)
+    except ImportError:
+        pass
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _registry().items() if sql is not None
+    }
