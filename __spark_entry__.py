@@ -24,12 +24,14 @@ def _registry() -> dict[str, tuple]:
 
     reg: dict[str, tuple] = {}
     reg.update(queries_spans.QUERIES)
-    try:
-        from ocr_dataset_builder_spark import queries_corpus
+    for mod in ("queries_joins", "queries_corpus"):
+        try:
+            import importlib
 
-        reg.update(queries_corpus.QUERIES)
-    except ImportError:
-        pass
+            m = importlib.import_module(f"ocr_dataset_builder_spark.{mod}")
+            reg.update(m.QUERIES)
+        except ImportError:
+            pass
     return reg
 
 
