@@ -1,0 +1,691 @@
+"""Training-data corpus operators over the flat documents/embeddings tables.
+
+Beyond the reference's own operators (per the build brief): deduplication
+(exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+(brute-force cosine top-k, LSH hyperplane bucketing), and text analysis
+(token stats, quality scoring, language-ID heuristic, rolling-hash
+fingerprinting), plus multimodal binary-column plumbing.
+
+All hashing is the engine-portable 60-bit md5-prefix integer
+(``conv(substr(md5(x),1,15),16,10)`` in Spark ==
+``('0x'||substr(md5(x),1,15))::BIGINT`` in DuckDB — verified identical),
+and all float reductions go through exact DECIMAL sums of per-element
+9-dp-rounded products so Spark and DuckDB agree bit-for-bit.
+
+Scale notes per operator are in each docstring — these are the 100 TB
+paths (shingle-join is the N^2 fallback at tiny scale; MinHash-LSH is the
+linear-shuffle variant used at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+# normalized text: lower, collapse whitespace, trim
+_NORM_SPARK = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_HEX15_SQL = lambda e: f"('0x' || substr(md5({e}), 1, 15))::BIGINT"  # noqa: E731
+
+
+def _hex15(c: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", _NORM_SPARK(F.col("text")).alias("norm")
+    )
+
+
+_NORM_CTE = f"""
+norm_docs AS (
+  SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents
+)""".strip()
+
+# distinct word 3-gram shingles per doc
+_SHINGLE_CTE = f""",
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split(norm, ' ')) - 2, 0) + 1),
+                   i -> string_split(norm, ' ')[i] || ' ' ||
+                        string_split(norm, ' ')[i+1] || ' ' ||
+                        string_split(norm, ' ')[i+2])
+  )) AS shingle
+  FROM norm_docs
+)"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    sh = nd.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("t") - 2, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    # sequence(1, 0) in Spark is DESCENDING [1, 0] — drop docs with <3 tokens
+    return sh.where(F.col("shingle").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: one shuffle on the fingerprint; canonical doc
+    is the min doc_id per group (deterministic)."""
+    nd = _norm_docs(spark, sf_dir).withColumn("fp", F.md5("norm"))
+    w = Window.partitionBy("fp")
+    return nd.select(
+        "doc_id",
+        "fp",
+        F.count("*").over(w).alias("group_n"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
+
+
+SQL_DEDUP_EXACT = f"""WITH {_NORM_CTE}
+SELECT doc_id, md5(norm) AS fp,
+       count(*) OVER (PARTITION BY md5(norm)) AS group_n,
+       min(doc_id) OVER (PARTITION BY md5(norm)) AS canonical_id
+FROM norm_docs
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard — shingle-join near-dup pairs (exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.02
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via shingle equi-join. At 100 TB this is the
+    *verification* stage run only on LSH candidate pairs (q_minhash_lsh);
+    the all-pairs shingle join here is the small-scale oracle-able form."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    j = (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= _JACCARD_MIN)
+
+
+SQL_NGRAM_JACCARD = f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= {_JACCARD_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_sig + minhash_lsh — signatures and banded candidate pairs
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 4
+_SEEDS = "abcd"
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: min over shingles of seeded portable hashes.
+    Linear in corpus size — the scale path for near-dup detection."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(_hex15(F.concat(F.lit(_SEEDS[i]), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(_N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SIG_COLS_SQL = ", ".join(
+    f"min({_HEX15_SQL(repr(_SEEDS[i]) + ' || shingle')}) AS sig{i}"
+    for i in range(_N_HASHES)
+)
+
+SQL_MINHASH_SIG = f"""WITH {_NORM_CTE}{_SHINGLE_CTE}
+SELECT doc_id, {_SIG_COLS_SQL}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (r=1, b=4): candidate pairs sharing any signature band.
+    This is the shuffle-on-(band,sig) bucket join — no all-pairs work."""
+    sig = q_minhash_sig(spark, sf_dir)
+    bands = None
+    for i in range(_N_HASHES):
+        part = sig.select(
+            "doc_id", F.lit(i).alias("band_id"), F.col(f"sig{i}").alias("band_sig")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").cast("bigint").alias("n_bands"))
+    )
+
+
+SQL_MINHASH_LSH = f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, {_SIG_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_id, sig{i} AS band_sig FROM sig" for i in range(_N_HASHES))}
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash + near pairs
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_HAMMING_MAX = 3
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nd = _norm_docs(spark, sf_dir)
+    toks = nd.select(
+        "doc_id", F.explode(F.array_distinct(F.split("norm", " "))).alias("tok")
+    ).withColumn("h", _hex15(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+SQL_SIMHASH = f"""WITH {_NORM_CTE},
+toks AS (
+  SELECT doc_id, {_HEX15_SQL("tok")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM norm_docs)
+),
+agg AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SIMHASH_BITS))}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM agg
+"""
+
+
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance. The cross join here is
+    the tiny-scale form; at scale, bucket by simhash bit-bands first
+    (same trick as MinHash LSH) so only same-bucket pairs are compared."""
+    s = q_simhash(spark, sf_dir)
+    a = s.alias("a")
+    b = s.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= _HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+_SIMHASH_EXPR_SQL = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+_BITSUM_COLS_SQL = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+
+SQL_SIMHASH_NEAR = f"""WITH {_NORM_CTE},
+toks AS (
+  SELECT doc_id, {_HEX15_SQL("tok")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM norm_docs)
+),
+agg AS (
+  SELECT doc_id, {_BITSUM_COLS_SQL}
+  FROM toks GROUP BY doc_id
+),
+simh AS (
+  SELECT doc_id, CAST({_SIMHASH_EXPR_SQL} AS BIGINT) AS simhash FROM agg
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# token stats / quality / lang-id / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+")).alias("n_word_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]+")).alias("n_num_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    sw = list(_STOPWORDS)
+    n_tokens = F.size("t")
+    stop_hits = F.size(F.filter("t", lambda x: x.isin(sw)))
+    nospace = F.regexp_replace("norm", " ", "")
+    alpha = F.regexp_replace("norm", "[^a-z]", "")
+    avg_len = F.col("_nchars") / n_tokens
+    return (
+        nd.withColumn("_nchars", F.length(nospace))
+        .withColumn("_alpha", F.length(alpha))
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.round(stop_hits / n_tokens, 6).alias("stop_ratio"),
+            F.round(avg_len, 6).alias("avg_token_len"),
+            F.round(F.col("_alpha") / F.col("_nchars"), 6).alias("alpha_ratio"),
+            F.round(
+                0.4 * (stop_hits / n_tokens)
+                + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+                + 0.3 * (F.col("_alpha") / F.col("_nchars")),
+                6,
+            ).alias("quality"),
+        )
+    )
+
+
+SQL_QUALITY_SCORE = f"""WITH {_NORM_CTE},
+base AS (
+  SELECT doc_id,
+         len(string_split(norm, ' ')) AS n_tokens,
+         len(list_filter(string_split(norm, ' '), x -> x IN {_STOPWORDS!r})) AS stop_hits,
+         length(replace(norm, ' ', '')) AS nchars,
+         length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha
+  FROM norm_docs
+)
+SELECT doc_id, n_tokens,
+       round(stop_hits / n_tokens, 6) AS stop_ratio,
+       round(nchars / n_tokens, 6) AS avg_token_len,
+       round(alpha / nchars, 6) AS alpha_ratio,
+       round(0.4 * (stop_hits / n_tokens)
+             + 0.3 * least(nchars / n_tokens / 8.0, 1.0)
+             + 0.3 * (alpha / nchars), 6) AS quality
+FROM base
+"""
+
+_LANG_PROFILES = {
+    "en": ("the", "a", "and"),
+    "de": ("table", "window", "batch"),
+    "es": ("data", "row", "scan"),
+    "fr": ("query", "value", "line"),
+    "zh": ("spark", "stream", "merge"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic. The synthetic corpus carries
+    no real language signal, so profiles are vocabulary-based; the operator
+    shape (token-hit scoring + deterministic argmax) is the real thing."""
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    scored = nd
+    for lang, words in _LANG_PROFILES.items():
+        scored = scored.withColumn(
+            f"s_{lang}", F.size(F.filter("t", lambda x: x.isin(list(words))))
+        )
+    langs = list(_LANG_PROFILES)
+    expr = None
+    for i, lg in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        cond = cond if cond is not None else F.lit(True)
+        expr = (
+            F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+        )
+    return scored.select(
+        "doc_id",
+        "lang",
+        expr.alias("pred_lang"),
+        *[F.col(f"s_{lg}").alias(f"s_{lg}") for lg in langs],
+    )
+
+
+def _lang_sql_scores() -> str:
+    parts = [
+        f"len(list_filter(string_split(norm, ' '), x -> x IN {words!r})) AS s_{lang}"
+        for lang, words in _LANG_PROFILES.items()
+    ]
+    return ", ".join(parts)
+
+
+def _lang_sql_pred() -> str:
+    langs = list(_LANG_PROFILES)
+    whens = []
+    for i, lg in enumerate(langs):
+        conds = [f"s_{lg} >= s_{o}" for o in langs[i + 1 :]] or ["TRUE"]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+SQL_LANG_ID = f"""WITH {_NORM_CTE},
+scored AS (
+  SELECT doc_id, lang, {_lang_sql_scores()} FROM norm_docs
+)
+SELECT doc_id, lang, {_lang_sql_pred()} AS pred_lang,
+       {", ".join(f"s_{lg}" for lg in _LANG_PROFILES)}
+FROM scored
+"""
+
+
+_RH_MOD = 1000000007
+_RH_LEN = 32
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (polynomial fold over the first 32 chars)
+    plus the md5 fingerprint — both engine-portable."""
+    nd = _norm_docs(spark, sf_dir)
+    return nd.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(split(substring(norm, 1, {_RH_LEN}), ''), "
+            f"x -> cast(ascii(x) as bigint)), 0L, (a, b) -> (a * 31 + b) % {_RH_MOD})"
+        ).alias("rhash"),
+        F.substring(F.md5("norm"), 1, 16).alias("fp16"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""WITH {_NORM_CTE}
+SELECT doc_id,
+       list_reduce(list_transform(string_split(substr(norm, 1, {_RH_LEN}), ''),
+                                  x -> CAST(ascii(x) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % {_RH_MOD}) AS rhash,
+       substr(md5(norm), 1, 16) AS fp16
+FROM norm_docs
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 5
+_TOP_K = 3
+
+
+def _elem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+
+
+_DEC = "DECIMAL(25,9)"
+
+
+def _norms(elem: DataFrame) -> DataFrame:
+    return elem.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast(_DEC)).alias("n2")
+    )
+
+
+_EMB_ELEM_CTE = """
+elem AS (
+  SELECT vec_id, u.i - 1 AS pos, u.x
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding, (e, i) -> struct_pack(i := i, x := CAST(e AS DOUBLE)))) AS u
+    FROM embeddings
+  )
+),
+norms AS (
+  SELECT vec_id, sum(CAST(round(x * x, 9) AS DECIMAL(25,9))) AS n2
+  FROM elem GROUP BY vec_id
+)""".strip()
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exactness baseline. At scale the
+    candidate set comes from q_ann_lsh_bucket buckets instead of the full
+    cross product; the scoring pipeline is identical."""
+    elem = _elem(spark, sf_dir)
+    norms = _norms(elem)
+    q = elem.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("x").alias("qx")
+    )
+    c = elem.select(F.col("vec_id").alias("cand_id"), "pos", F.col("x").alias("cx"))
+    dots = (
+        q.join(c, "pos")
+        .where(F.col("cand_id") != F.col("q_id"))
+        .groupBy("q_id", "cand_id")
+        .agg(F.sum(F.round(F.col("qx") * F.col("cx"), 9).cast(_DEC)).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2q"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("n2c"))
+    cos = (
+        dots.join(nq, "q_id")
+        .join(nc, "cand_id")
+        .select(
+            "q_id",
+            "cand_id",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("n2q").cast("double") * F.col("n2c").cast("double")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        cos.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("q_id", "cand_id", "rnk", "cos")
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""WITH {_EMB_ELEM_CTE},
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         sum(CAST(round(q.x * c.x, 9) AS DECIMAL(25,9))) AS dot
+  FROM elem q JOIN elem c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT q_id, cand_id,
+         round(CAST(dot AS DOUBLE) /
+               sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)), 4) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = q_id
+  JOIN norms nc ON nc.vec_id = cand_id
+)
+SELECT q_id, cand_id, rnk, cos FROM (
+  SELECT q_id, cand_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id ASC) AS INT) AS rnk
+  FROM cos
+) WHERE rnk <= {_TOP_K}
+"""
+
+
+_N_PLANES = 8
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing with integer pseudo-plane weights
+    w(p,d) = ((p*1103515245 + d*12345) % 2001) - 1000 — deterministic and
+    engine-portable. Bucket = 8-bit sign pattern; ANN candidates are
+    same-bucket vectors (linear shuffle, no cross product)."""
+    elem = _elem(spark, sf_dir)
+    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p"))
+    we = elem.crossJoin(planes).withColumn(
+        "w",
+        (
+            (F.col("p").cast("bigint") * 1103515245 + F.col("pos").cast("bigint") * 12345)
+            % 2001
+            - 1000
+        ).cast("double"),
+    )
+    sums = we.groupBy("vec_id", "p").agg(
+        F.sum(F.round(F.col("w") * F.col("x"), 9).cast(_DEC)).alias("s")
+    )
+    bucket = sums.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, p)")).otherwise(0)
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return bucket
+
+
+SQL_ANN_LSH_BUCKET = f"""WITH {_EMB_ELEM_CTE},
+planes AS (SELECT CAST(unnest(range(0, {_N_PLANES})) AS INT) AS p),
+sums AS (
+  SELECT e.vec_id, pl.p,
+         sum(CAST(round(CAST((CAST(pl.p AS BIGINT) * 1103515245 + CAST(e.pos AS BIGINT) * 12345) % 2001 - 1000 AS DOUBLE) * e.x, 9)
+                  AS DECIMAL(25,9))) AS s
+  FROM elem e CROSS JOIN planes pl
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+FROM sums GROUP BY vec_id
+"""
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    elem = _elem(spark, sf_dir)
+    norms = _norms(elem).select(
+        "vec_id", F.sqrt(F.col("n2").cast("double")).alias("nrm")
+    )
+    lab = _emb(spark, sf_dir).select("vec_id", "label")
+    return (
+        norms.join(lab, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+SQL_EMBEDDING_LABEL_STATS = f"""WITH {_EMB_ELEM_CTE}
+SELECT e.label, count(*) AS n_vecs,
+       round(avg(sqrt(CAST(n.n2 AS DOUBLE))), 6) AS avg_norm
+FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id
+GROUP BY e.label
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near": (q_simhash_near, SQL_SIMHASH_NEAR),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),
+    "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
+}
