@@ -1,0 +1,126 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <flagship seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "bench_docs": ..., "replication": ...}
+
+The flagship measure is end-to-end span extraction (docs/sec) over the
+deterministically replicated corpus (REP copies of the sf documents table,
+doc_id offset by 1M per copy) so the timing covers a meaningful volume.
+Every query is forced through the noop sink — full execution, no collect.
+
+Scaling evidence (north rule): run scripts/scaling_bench.py, which invokes
+this file at two parallelism levels and records throughput + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "20"))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ocr_dataset_builder_spark import synth
+    from ocr_dataset_builder_spark.pipeline import extract_spans
+    from ocr_dataset_builder_spark.operators.reassembly import reassemble_nested
+    from ocr_dataset_builder_spark.session import get_spark
+    from ocr_dataset_builder_spark import queries_corpus as qc
+    from ocr_dataset_builder_spark import queries_spans as qs
+    from ocr_dataset_builder_spark import queries_joins as qj
+
+    spark = get_spark("odb-bench", cores=CPUS, shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flat_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_base = flat_docs.count()
+    replicated = (
+        flat_docs.select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(REP - 1))).alias("r"),
+        )
+        .select(
+            (F.col("doc_id") + F.col("r").cast("bigint") * 1000000).alias("doc_id"),
+            "text",
+            "n_chars",
+        )
+    )
+    bench_docs = n_base * REP
+
+    # contract-shaped nested input, materialized once (the pipeline's real
+    # input is a stored Iceberg table; building it is not part of the
+    # measured extraction)
+    nested = synth.nest_span_rows(synth.derive_span_rows(replicated))
+    nested = nested.repartition(2 * CPUS, "doc_id").persist()
+    nested.count()  # materialize outside the timed region
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, df) -> None:
+        # warmup run (Python-worker spawn + pandas import + JIT + Arrow
+        # pool growth all land here), then best-of-2 steady-state — the
+        # sandbox host carries external load spikes, and the throughput a
+        # long-running 100 TB job sees is the steady-state one
+        force(df)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    # flagship: end-to-end extraction (explode -> OCR -> cleanup -> reassembly)
+    timed("flagship_extract", extract_spans(nested))
+    flagship_sec = timings["flagship_extract"]
+
+    # nested-output variant (salted two-phase collect_list)
+    timed(
+        "reassemble_nested",
+        reassemble_nested(synth.explode_spans(nested), salt_buckets=8),
+    )
+
+    # operator headliners at the raw sf (un-replicated) scale
+    timed("fref_decode", qs.q_fref_decode(spark, SF_DIR))
+    timed("batch_assemble", qs.q_batch_assemble(spark, SF_DIR))
+    timed("strict_join_ocr", qj.q_strict_join_ocr(spark, SF_DIR))
+    timed("minhash_lsh", qc.q_minhash_lsh(spark, SF_DIR))
+    timed("simhash", qc.q_simhash(spark, SF_DIR))
+    timed("ngram_jaccard", qc.q_ngram_jaccard(spark, SF_DIR))
+    timed("ann_cosine_topk", qc.q_ann_cosine_topk(spark, SF_DIR))
+    timed("quality_score", qc.q_quality_score(spark, SF_DIR))
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_span_extraction_wall_sec",
+                "value": flagship_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "replication": REP,
+                "bench_docs": bench_docs,
+                "docs_per_sec": round(bench_docs / flagship_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -207,25 +207,35 @@ FROM sh GROUP BY doc_id
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (r=1, b=4): candidate pairs sharing any signature band.
-    This is the shuffle-on-(band,sig) bucket join — no all-pairs work."""
+
+    Single-pass shape for scale: signatures are computed once, melted to
+    (band_id, band_sig) rows with posexplode (no 4-way union re-scan),
+    then ONE shuffle groups same-bucket docs and pairs are expanded
+    in-bucket (bucket sizes are bounded, so the expansion is local) —
+    no self-join, no second scan of the corpus.
+    """
     sig = q_minhash_sig(spark, sf_dir)
-    bands = None
-    for i in range(_N_HASHES):
-        part = sig.select(
-            "doc_id", F.lit(i).alias("band_id"), F.col(f"sig{i}").alias("band_sig")
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").cast("bigint").alias("n_bands"))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"sig{i}") for i in range(_N_HASHES)])
+        ).alias("band_id", "band_sig"),
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a_id, y AS b_id))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+    return pairs.groupBy("a_id", "b_id").agg(
+        F.count("*").cast("bigint").alias("n_bands")
     )
 
 

@@ -99,7 +99,12 @@ def span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors DUCKDB_SPANS_CTE exactly — parity is asserted by
     tests/test_synth_parity.py.
     """
-    d = load_flat_documents(spark, sf_dir)
+    return derive_span_rows(load_flat_documents(spark, sf_dir))
+
+
+def derive_span_rows(d: DataFrame) -> DataFrame:
+    """Derivation over any flat (doc_id BIGINT, text, n_chars) relation —
+    used by bench.py to scale the corpus by deterministic replication."""
     sp0 = d.select(
         F.col("doc_id").alias("doc_key"),
         F.col("text").alias("doc_text"),
@@ -153,7 +158,10 @@ def documents_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id STRING, spans ARRAY<STRUCT<kind,text,media_ref,offset:INT>>),
     spans sorted by offset.
     """
-    rows = span_rows(spark, sf_dir)
+    return nest_span_rows(span_rows(spark, sf_dir))
+
+
+def nest_span_rows(rows: DataFrame) -> DataFrame:
     return rows.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(

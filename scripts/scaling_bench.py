@@ -1,0 +1,80 @@
+"""Scaling-efficiency evidence for the north rule.
+
+Runs the identical bench job (fresh JVM each, same input, fixed
+shuffle-partition policy) at two local parallelism levels — local[8] (N)
+and local[32] (4N) — and reports docs/sec at both plus
+``efficiency = (T_N / T_4N) / 4``. Appends a results block to
+BENCH_SCALING.md.
+
+Usage: python scripts/scaling_bench.py [sf_dir] [rep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REP = sys.argv[2] if len(sys.argv) > 2 else "20"
+N_CORES, N4_CORES = "8", "32"
+
+
+def run_bench(cpus: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        SPARK_GRAFT_CPUS=cpus,
+        SPARK_GRAFT_BENCH_REP=REP,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    rn = run_bench(N_CORES)
+    r4n = run_bench(N4_CORES)
+    t_n = rn["value"]
+    t_4n = r4n["value"]
+    eff = (t_n / t_4n) / 4
+    block = f"""
+## Scaling run {datetime.now(timezone.utc).isoformat(timespec="seconds")}
+
+| parallelism | wall sec (flagship) | docs/sec | bench docs |
+|---|---|---|---|
+| local[{N_CORES}] (N) | {t_n} | {rn["docs_per_sec"]} | {rn["bench_docs"]} |
+| local[{N4_CORES}] (4N) | {t_4n} | {r4n["docs_per_sec"]} | {r4n["bench_docs"]} |
+
+efficiency = (T_N / T_4N) / 4 = ({t_n} / {t_4n}) / 4 = **{eff:.3f}**
+(target >= 0.8 per BASELINE.json north rule)
+
+Per-query seconds at 4N: {json.dumps(r4n["queries"])}
+Input: {SF_DIR}, replication x{REP}.
+"""
+    path = os.path.join(REPO, "BENCH_SCALING.md")
+    header = (
+        "# BENCH_SCALING — N vs 4N throughput scaling evidence\n\n"
+        "Protocol per BASELINE.md: identical job, identical input, fresh JVM\n"
+        "per run, fixed shuffle-partition policy (2x cores).\n"
+    )
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(header)
+    with open(path, "a") as f:
+        f.write(block)
+    print(json.dumps({"t_n": t_n, "t_4n": t_4n, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
