@@ -118,53 +118,30 @@ def decode_fref(
     *group* — with millions of small doc groups, per-group applyInPandas
     pays ~ms of Arrow/pandas overhead each, which dominated the benchmark.
     """
+    from .grouped import grouped_map_in_pandas, iter_groups
+
     part_cols = part_cols or ["doc_id"]
     out_fields = ", ".join(
         [f"{c} string" for c in part_cols]
         + [f"{seq_col} int", f"{out_col} string"]
     )
 
-    sel = (
-        df.select(*part_cols, seq_col, text_col)
-        .repartition(*part_cols)
-        .sortWithinPartitions(*part_cols, seq_col)
+    def _block(block: pd.DataFrame) -> pd.DataFrame:
+        vals = block[text_col].tolist()
+        out_vals: list[str] = []
+        for s, e in iter_groups(block, part_cols):
+            out_vals.extend(decode_fref_list(vals[s:e]))
+        res = block[part_cols + [seq_col]].copy()
+        res[out_col] = out_vals
+        return res
+
+    return grouped_map_in_pandas(
+        df.select(*part_cols, seq_col, text_col),
+        part_cols,
+        [seq_col],
+        _block,
+        out_fields,
     )
-
-    def _run(batches):
-        carry: pd.DataFrame | None = None
-
-        def decode_block(block: pd.DataFrame) -> pd.DataFrame:
-            # block is sorted by (key, seq); groups are contiguous
-            keys = list(zip(*[block[c].tolist() for c in part_cols]))
-            vals = block[text_col].tolist()
-            out_vals: list[str] = []
-            start = 0
-            for i in range(1, len(keys) + 1):
-                if i == len(keys) or keys[i] != keys[start]:
-                    out_vals.extend(decode_fref_list(vals[start:i]))
-                    start = i
-            res = block[part_cols + [seq_col]].copy()
-            res[out_col] = out_vals
-            return res
-
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            keys = list(zip(*[pdf[c].tolist() for c in part_cols]))
-            last = keys[-1]
-            cut = len(keys)
-            while cut > 0 and keys[cut - 1] == last:
-                cut -= 1
-            carry = pdf.iloc[cut:].copy()
-            if cut > 0:
-                yield decode_block(pdf.iloc[:cut])
-        if carry is not None and len(carry) > 0:
-            yield decode_block(carry)
-
-    return sel.mapInPandas(_run, schema=out_fields)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,95 @@
+"""Driver-contract queries: refinement stage (U2/U3 + A3<->T6 round trip)
+and multimodal binary plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.cleanup import duckdb_clean_sql
+from .operators import sequencing as seqops
+from .operators.multimodal import decode_features, with_payload
+from .operators.ocr import ocr_media
+from .operators.refinement import SUMMARY_LEN, refine_batches
+from .synth import DUCKDB_SPANS_CTE, duckdb_ocr_sql, span_rows
+
+_FPB = 4
+
+_MEDIA_CTE = """,
+media_rows AS (
+  SELECT doc_id, doc_key, span_offset, media_ref,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1 AS INT) AS frame_seq
+  FROM span_rows WHERE kind = 'media'
+)"""
+
+_OCR_EXPR = duckdb_ocr_sql("doc_id", "media_ref", "span_offset")
+
+_REFINED_CTE = f""",
+refined AS (
+  SELECT doc_id, frame_seq,
+         CAST((frame_seq - (frame_seq % {_FPB})) / {_FPB} AS INT) AS batch_id,
+         {duckdb_clean_sql(_OCR_EXPR)} AS cleaned
+  FROM media_rows
+)"""
+
+
+def _ocr_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = span_rows(spark, sf_dir).where("kind = 'media'")
+    media = seqops.with_frame_seq(media, order_cols=["span_offset"])
+    ocr = ocr_media(media, use_arrow=False).select(
+        "doc_id", "frame_seq", F.col("ocr_text").alias("text")
+    )
+    return seqops.with_batch_id(ocr, _FPB)
+
+
+def q_refine_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full assemble -> deterministic-refine -> header-parse round trip per
+    batch; per-frame cleaned + markdown out. Oracle computes the closed
+    form directly (cleanup + markdown concat)."""
+    refined = refine_batches(_ocr_batched(spark, sf_dir))
+    return refined.select("doc_id", "batch_id", "frame_seq", "cleaned", "markdown")
+
+
+SQL_REFINE_FRAMES = f"""WITH {DUCKDB_SPANS_CTE}{_MEDIA_CTE}{_REFINED_CTE}
+SELECT doc_id, batch_id, frame_seq, cleaned,
+       '## Frame ' || CAST(frame_seq AS VARCHAR) || chr(10) || cleaned AS markdown
+FROM refined
+"""
+
+
+def q_refine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refined = refine_batches(_ocr_batched(spark, sf_dir))
+    return refined.select("doc_id", "batch_id", "summary").distinct()
+
+
+SQL_REFINE_SUMMARY = f"""WITH {DUCKDB_SPANS_CTE}{_MEDIA_CTE}{_REFINED_CTE}
+SELECT doc_id, batch_id,
+       substr(string_agg(cleaned, ' ' ORDER BY frame_seq), 1, {SUMMARY_LEN}) AS summary
+FROM refined
+GROUP BY doc_id, batch_id
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column -> Arrow-batched decode stand-in
+    (n_bytes + md5). Oracle: DuckDB md5/encode over the same derivation."""
+    media = span_rows(spark, sf_dir).where("kind = 'media'").select(
+        "doc_id", "media_ref"
+    )
+    feats = decode_features(with_payload(media))
+    return feats.select("doc_id", "media_ref", "n_bytes", "payload_md5")
+
+
+SQL_MULTIMODAL_META = f"""WITH {DUCKDB_SPANS_CTE}
+SELECT doc_id, media_ref,
+       CAST(octet_length(encode(doc_id || '/' || media_ref)) AS INT) AS n_bytes,
+       md5(doc_id || '/' || media_ref) AS payload_md5
+FROM span_rows WHERE kind = 'media'
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "refine_frames": (q_refine_frames, SQL_REFINE_FRAMES),
+    "refine_summary": (q_refine_summary, SQL_REFINE_SUMMARY),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+}
