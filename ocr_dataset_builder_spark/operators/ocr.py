@@ -61,3 +61,45 @@ def ocr_media(media: DataFrame, use_arrow: bool = True) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(_ocr_batches, schema=schema)
+
+
+def ocr_spans(flat: DataFrame, use_arrow: bool = True) -> DataFrame:
+    """OCR over a MIXED span relation in one pass: media rows get
+    ``ocr_text``, text rows get NULL. Keeping both kinds in one stage
+    avoids the split/union plan (two scans + an extra shuffle that breaks
+    doc_id partitioning ahead of the reassembly window)."""
+    if not use_arrow:
+        return flat.withColumn(
+            "ocr_text",
+            F.when(
+                F.col("kind") == "media",
+                synthetic_ocr_col(
+                    F.col("doc_id"), F.col("media_ref"), F.col("span_offset")
+                ),
+            ),
+        )
+
+    schema = StructType(
+        list(flat.schema.fields) + [StructField("ocr_text", StringType())]
+    )
+
+    def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            mask = pdf["kind"] == "media"
+            ocr = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+            if mask.any():
+                sub = pdf[mask]
+                # <-- real OCR engine decodes sub['media_ref'] payloads here
+                ocr[mask] = (
+                    "OCR "
+                    + sub["doc_id"].astype(str)
+                    + "/"
+                    + sub["media_ref"].astype(str)
+                    + "\nline "
+                    + (sub["span_offset"] % 5).astype(str)
+                )
+            pdf["ocr_text"] = ocr
+            yield pdf
+
+    return flat.mapInPandas(_ocr_batches, schema=schema)

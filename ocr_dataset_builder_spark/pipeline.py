@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .functions.cleanup import clean_ocr_col
 from .lineage import commit_run, pending_docs, read_checkpoint
-from .operators.ocr import ocr_media
+from .operators.ocr import ocr_spans
 from .operators.reassembly import reassemble_rows
 from .synth import explode_spans
 
@@ -38,28 +38,30 @@ def extract_spans(nested: DataFrame, use_arrow_ocr: bool = True) -> DataFrame:
     spans. `ord` is the 0-based position in the document's span sequence —
     the invariant key (kind, text, media_ref, order).
     """
-    flat = explode_spans(nested)
-    media = flat.where(F.col("kind") == "media")
-    text = flat.where(F.col("kind") == "text")
+    from pyspark.sql import Window
 
-    media_ocr = ocr_media(media, use_arrow=use_arrow_ocr).select(
+    flat = explode_spans(nested)
+    # single pass over the mixed relation: one scan, no split/union. The
+    # reassembly window runs BEFORE the Python stage — mapInPandas rewrites
+    # attribute ids, so any partitioning/ordering computed after it would
+    # need a fresh shuffle; ord depends only on (span_offset, span_pos),
+    # so sequencing first leaves exactly one Exchange in the whole plan
+    # (verified via explain("formatted")).
+    w = Window.partitionBy("doc_id").orderBy("span_offset", "span_pos")
+    seq = flat.withColumn("ord", (F.row_number().over(w) - 1).cast("int"))
+    with_ocr = ocr_spans(seq, use_arrow=use_arrow_ocr)
+    return with_ocr.select(
         "doc_id",
-        "span_pos",
+        "ord",
         "kind",
-        clean_ocr_col(F.col("ocr_text")).alias("text"),
+        clean_ocr_col(
+            F.when(F.col("kind") == "media", F.col("ocr_text")).otherwise(
+                F.col("text")
+            )
+        ).alias("text"),
         "media_ref",
         "span_offset",
     )
-    text_clean = text.select(
-        "doc_id",
-        "span_pos",
-        "kind",
-        clean_ocr_col(F.col("text")).alias("text"),
-        "media_ref",
-        "span_offset",
-    )
-    merged = media_ocr.unionByName(text_clean)
-    return reassemble_rows(merged)
 
 
 def doc_metrics(extracted: DataFrame) -> DataFrame:
