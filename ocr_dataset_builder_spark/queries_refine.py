@@ -88,8 +88,26 @@ FROM span_rows WHERE kind = 'media'
 """
 
 
+def q_augment_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/U5/U6: seeded augmentation over cleaned text spans. The RNG is
+    CPython Mersenne (pinned byte-identical to the reference by
+    tests/test_augment.py), not SQL-expressible -> rows-only check."""
+    from .functions.cleanup import clean_ocr_col
+    from .operators.augment import augment_stage
+
+    text_spans = (
+        span_rows(spark, sf_dir)
+        .where("kind = 'text'")
+        .select("doc_id", "span_offset", clean_ocr_col(F.col("text")).alias("text"))
+    )
+    return augment_stage(text_spans).select(
+        "doc_id", "span_offset", "setting_id", "augmented"
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "refine_frames": (q_refine_frames, SQL_REFINE_FRAMES),
     "refine_summary": (q_refine_summary, SQL_REFINE_SUMMARY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "augment_profiles": (q_augment_profiles, None),
 }

@@ -1,0 +1,38 @@
+"""spark-submit entry point: resumable span extraction over a nested
+documents table.
+
+    spark-submit --py-files dist/ocr_dataset_builder_spark.zip \
+        scripts/submit_extract.py --input <path> --output <dir> [--run-id r1]
+
+The input is the contract-shaped parquet/Iceberg table
+(doc_id, spans array<struct<kind,text,media_ref,offset>>). A killed run
+resumes: completed docs are anti-joined away via the lineage checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--table", action="store_true", help="input is a catalog table name")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ocr_dataset_builder_spark.pipeline import run_extraction
+
+    spark = SparkSession.builder.appName("odb-extract").getOrCreate()
+    nested = (
+        spark.read.table(args.input) if args.table else spark.read.parquet(args.input)
+    )
+    n = run_extraction(spark, nested, args.output, run_id=args.run_id)
+    print(f"processed {n} docs")
+
+
+if __name__ == "__main__":
+    main()
