@@ -684,7 +684,87 @@ GROUP BY e.label
 """
 
 
+_COS_DUP_MIN = 0.35
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. All-pairs here (500 vecs);
+    at scale the pair generation comes from q_ann_lsh_bucket buckets and
+    this is the verification stage."""
+    elem = _elem(spark, sf_dir)
+    norms = _norms(elem)
+    a = elem.select(F.col("vec_id").alias("a_id"), "pos", F.col("x").alias("ax"))
+    b = elem.select(F.col("vec_id").alias("b_id"), "pos", F.col("x").alias("bx"))
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.round(F.col("ax") * F.col("bx"), 9).cast(_DEC)).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("n2b"))
+    cos = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    return cos.where(F.col("cos") >= _COS_DUP_MIN)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""WITH {_EMB_ELEM_CTE},
+dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum(CAST(round(a.x * b.x, 9) AS DECIMAL(25,9))) AS dot
+  FROM elem a JOIN elem b ON b.pos = a.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(dot AS DOUBLE) /
+             sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = a_id
+JOIN norms nb ON nb.vec_id = b_id
+WHERE round(CAST(dot AS DOUBLE) /
+            sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) >= {_COS_DUP_MIN}
+"""
+
+
+_ALLOWLIST = ("3", "7", "12", "9999991")  # last id never exists
+
+
+def q_allowlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: keep only allowlisted doc ids, fall back to ALL docs when
+    nothing matches (reference pytorch_dataset.py:293-301)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+    ids = list(_ALLOWLIST)
+    n_match = docs.where(F.col("doc_id").isin(ids)).agg(
+        F.count("*").alias("_c")
+    )
+    return (
+        docs.crossJoin(F.broadcast(n_match))
+        .where(F.col("doc_id").isin(ids) | (F.col("_c") == 0))
+        .select("doc_id")
+    )
+
+
+SQL_ALLOWLIST_FILTER = f"""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+m AS (SELECT count(*) AS c FROM d WHERE doc_id IN {_ALLOWLIST!r})
+SELECT doc_id FROM d, m WHERE doc_id IN {_ALLOWLIST!r} OR m.c = 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "allowlist_filter": (q_allowlist_filter, SQL_ALLOWLIST_FILTER),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
