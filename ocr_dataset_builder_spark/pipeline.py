@@ -24,8 +24,7 @@ from pyspark.sql import functions as F
 from .functions.cleanup import clean_ocr_col
 from .lineage import commit_run, pending_docs, read_checkpoint
 from .operators.ocr import ocr_spans
-from .operators.reassembly import reassemble_rows
-from .synth import explode_spans
+from .synth import explode_spans  # noqa: F401 (public re-export; used by bench)
 
 SPAN_COLS = ["doc_id", "span_pos", "kind", "text", "media_ref", "span_offset"]
 
@@ -38,30 +37,63 @@ def extract_spans(nested: DataFrame, use_arrow_ocr: bool = True) -> DataFrame:
     spans. `ord` is the 0-based position in the document's span sequence —
     the invariant key (kind, text, media_ref, order).
     """
-    from pyspark.sql import Window
-
-    flat = explode_spans(nested)
-    # single pass over the mixed relation: one scan, no split/union. The
-    # reassembly window runs BEFORE the Python stage — mapInPandas rewrites
-    # attribute ids, so any partitioning/ordering computed after it would
-    # need a fresh shuffle; ord depends only on (span_offset, span_pos),
-    # so sequencing first leaves exactly one Exchange in the whole plan
-    # (verified via explain("formatted")).
-    w = Window.partitionBy("doc_id").orderBy("span_offset", "span_pos")
-    seq = flat.withColumn("ord", (F.row_number().over(w) - 1).cast("int"))
-    with_ocr = ocr_spans(seq, use_arrow=use_arrow_ocr)
-    return with_ocr.select(
+    # Document order is INTRA-ROW in the contract shape (spans live in one
+    # array per doc), so ordering is embarrassingly parallel: sort each
+    # row's array by (offset, ...) with array_sort — a per-row JVM kernel —
+    # and posexplode's position IS the ordinal. The whole flagship plan
+    # then contains ZERO exchanges (the earlier window variant needed one
+    # shuffle on doc_id; verified via explain("formatted")).
+    sorted_nested = nested.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["offset"].alias("offset"),
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                ),
+            )
+        ).alias("spans"),
+    )
+    seq = sorted_nested.select(
+        "doc_id", F.posexplode("spans").alias("ord", "span")
+    ).select(
+        "doc_id",
+        F.col("ord").cast("int").alias("ord"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("span_offset"),
+    )
+    # Route only MEDIA rows (and only their narrow columns — no text
+    # payload) through the Python/Arrow boundary: the identity crossing
+    # itself is the scaling bottleneck in this environment (measured: an
+    # identity mapInArrow over 18M rows runs ~6s at 4 cores and ~5s at 16),
+    # so bytes-through-Python is the resource to minimize. With ordering
+    # now intra-row there is no window after the union, so the split costs
+    # no shuffle, and nested-schema pruning keeps the media branch from
+    # reading the text bytes at the scan.
+    out_cols = ["doc_id", "ord", "kind", "text", "media_ref", "span_offset"]
+    media = seq.where(F.col("kind") == "media").drop("text")
+    media_ocr = ocr_spans(media, use_arrow=use_arrow_ocr).select(
         "doc_id",
         "ord",
         "kind",
-        clean_ocr_col(
-            F.when(F.col("kind") == "media", F.col("ocr_text")).otherwise(
-                F.col("text")
-            )
-        ).alias("text"),
+        clean_ocr_col(F.col("ocr_text")).alias("text"),
         "media_ref",
         "span_offset",
     )
+    text_clean = seq.where(F.col("kind") == "text").select(
+        "doc_id",
+        "ord",
+        "kind",
+        clean_ocr_col(F.col("text")).alias("text"),
+        "media_ref",
+        "span_offset",
+    )
+    return media_ocr.select(*out_cols).unionByName(text_clean.select(*out_cols))
 
 
 def doc_metrics(extracted: DataFrame) -> DataFrame:
