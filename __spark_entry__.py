@@ -24,7 +24,7 @@ def _registry() -> dict[str, tuple]:
 
     reg: dict[str, tuple] = {}
     reg.update(queries_spans.QUERIES)
-    for mod in ("queries_joins", "queries_corpus", "queries_refine"):
+    for mod in ("queries_joins", "queries_corpus", "queries_refine", "queries_events"):
         try:
             import importlib
 

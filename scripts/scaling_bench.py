@@ -33,6 +33,8 @@ def run_bench(cpus: str) -> dict:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_CPUS=cpus,
         SPARK_GRAFT_BENCH_REP=REP,
+        # heap scales with parallelism (same GiB/core at both levels)
+        SPARK_DRIVER_MEM=f"{max(8, 3 * int(cpus))}g",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
