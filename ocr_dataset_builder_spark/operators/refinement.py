@@ -58,7 +58,8 @@ def refine_text_batch(frames: list[tuple[int, str]]) -> str:
     ordered = sorted(frames, key=lambda x: x[0])
     cleaned = [(i, clean_ocr_text(t)) for i, t in ordered]
     md = [(i, f"## Frame {i}\n{c}") for i, c in cleaned]
-    summary = " ".join(c for _, c in cleaned)[:SUMMARY_LEN]
+    # stripped at build time so the parser's strip is the identity
+    summary = " ".join(c for _, c in cleaned)[:SUMMARY_LEN].strip()
     parts = [TASK3_HEADER]
     for i, c in cleaned:
         parts.append(f"-- Frame {i} --\n{c}")

@@ -660,6 +660,96 @@ FROM sums GROUP BY vec_id
 """
 
 
+_IVF_CENTROID_MOD = 50  # deterministic "coarse quantizer": every 50th vector
+_IVF_NPROBE = 2
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str, rank_max: int) -> DataFrame:
+    """Distance of every vector to every centroid, ranked. Centroids are
+    the vectors with vec_id % 50 == 0 — a deterministic stand-in for the
+    k-means training step (which at scale runs once, offline)."""
+    elem = _elem(spark, sf_dir)
+    cent = elem.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), "pos", F.col("x").alias("cx")
+    )
+    # squared L2 distance via decimal-exact per-element sums
+    d2 = (
+        elem.join(cent, "pos")
+        .groupBy("vec_id", "cent_id")
+        .agg(
+            F.sum(
+                F.round((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 9).cast(
+                    _DEC
+                )
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").cast("double").asc(), F.col("cent_id").asc()
+    )
+    return d2.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= rank_max
+    )
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list assignment: nearest centroid per vector (the write path of
+    an IVF index — one shuffle on vec_id, centroid side broadcastable)."""
+    return _ivf_assign(spark, sf_dir, 1).select(
+        "vec_id", "cent_id", F.round(F.col("d2").cast("double"), 4).alias("d2")
+    )
+
+
+_IVF_CTE = f""",
+cent AS (
+  SELECT vec_id AS cent_id, pos, x AS cx FROM elem WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+),
+d2 AS (
+  SELECT e.vec_id, c.cent_id,
+         sum(CAST(round((e.x - c.cx) * (e.x - c.cx), 9) AS DECIMAL(25,9))) AS d2
+  FROM elem e JOIN cent c ON c.pos = e.pos
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cent_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d2 AS DOUBLE) ASC, cent_id ASC) AS rnk
+  FROM d2
+)"""
+
+SQL_ANN_IVF_ASSIGN = f"""WITH {_EMB_ELEM_CTE}{_IVF_CTE}
+SELECT vec_id, cent_id, round(CAST(d2 AS DOUBLE), 4) AS d2
+FROM ranked WHERE rnk <= 1
+"""
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF read path: candidate set per query = vectors whose nearest
+    list is among the query's nprobe nearest lists. Output candidate
+    counts per query (the search then scores only these — the linear
+    scan is confined to probed lists)."""
+    assign = _ivf_assign(spark, sf_dir, 1).select(
+        "vec_id", F.col("cent_id").alias("list_id")
+    )
+    probes = _ivf_assign(spark, sf_dir, _IVF_NPROBE).where(
+        F.col("vec_id") < 5
+    ).select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("list_id"))
+    cands = probes.join(assign, "list_id").where(F.col("vec_id") != F.col("q_id"))
+    return cands.groupBy("q_id").agg(F.count("*").alias("n_candidates"))
+
+
+SQL_ANN_IVF_PROBE = f"""WITH {_EMB_ELEM_CTE}{_IVF_CTE},
+assign AS (SELECT vec_id, cent_id AS list_id FROM ranked WHERE rnk <= 1),
+probes AS (
+  SELECT vec_id AS q_id, cent_id AS list_id FROM ranked
+  WHERE rnk <= {_IVF_NPROBE} AND vec_id < 5
+)
+SELECT p.q_id, count(*) AS n_candidates
+FROM probes p JOIN assign a ON a.list_id = p.list_id
+WHERE a.vec_id <> p.q_id
+GROUP BY p.q_id
+"""
+
+
 def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     elem = _elem(spark, sf_dir)
     norms = _norms(elem).select(
@@ -777,5 +867,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),
+    "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
+    "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
 }

@@ -64,7 +64,9 @@ def q_refine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REFINE_SUMMARY = f"""WITH {DUCKDB_SPANS_CTE}{_MEDIA_CTE}{_REFINED_CTE}
 SELECT doc_id, batch_id,
-       substr(string_agg(cleaned, ' ' ORDER BY frame_seq), 1, {SUMMARY_LEN}) AS summary
+       regexp_replace(regexp_replace(
+         substr(string_agg(cleaned, ' ' ORDER BY frame_seq), 1, {SUMMARY_LEN}),
+         '^\\s+', ''), '\\s+$', '') AS summary
 FROM refined
 GROUP BY doc_id, batch_id
 """

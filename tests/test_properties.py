@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the pure-function cores:
+cleanup invariants, F:i encode/decode roundtrip, parse/assemble
+roundtrip, and the same-as-previous fill."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_dataset_builder_spark.functions.cleanup import clean_ocr_text
+from ocr_dataset_builder_spark.operators.frame_dedup import decode_fref_list
+from ocr_dataset_builder_spark.operators.refinement import (
+    parse_llm_response,
+    refine_text_batch,
+)
+
+ascii_text = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghij XYZ.!?,0123456789") + ["\n", "\t", "\r", " "]
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text)
+def test_cleanup_idempotent(s):
+    once = clean_ocr_text(s)
+    assert clean_ocr_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text)
+def test_cleanup_invariants(s):
+    out = clean_ocr_text(s)
+    # no line is empty or padded; no space runs; no CR
+    assert "\r" not in out
+    assert "  " not in out.replace("\n", " ") or "  " not in out
+    for line in out.split("\n"):
+        assert line == line.strip()
+        assert "  " not in line and "\t" not in line
+
+
+# encoded values: either plain text (never starting with F:) or a
+# backward ref with optional appended tail
+def _encode(vals: list[str]) -> list[str]:
+    out = []
+    for i, v in enumerate(vals):
+        if i > 0:
+            prev = vals[i - 1]
+            if v == prev:
+                out.append(f"F:{i-1}")
+                continue
+            if v.startswith(prev + "\n"):
+                out.append(f"F:{i-1}" + v[len(prev):])
+                continue
+        out.append(v)
+    return out
+
+
+safe_line = st.text(alphabet=list("abcdef gh"), min_size=0, max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            safe_line,
+            st.tuples(safe_line, safe_line).map(lambda t: t[0] + "\n" + t[1]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fref_roundtrip(vals):
+    # plain values must not collide with the F: notation
+    vals = [v if not v.startswith("F:") else "x" + v for v in vals]
+    assert decode_fref_list(_encode(vals)) == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=list("abc def\n"), max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_refine_parse_roundtrip(texts):
+    # frame texts free of the marker grammar
+    frames = [(i, t) for i, t in enumerate(texts)]
+    parsed = parse_llm_response(refine_text_batch(frames))
+    assert parsed is not None
+    cleaned = [clean_ocr_text(t) for t in texts]
+    assert parsed["task3_cleaned_text"] == cleaned
+    assert len(parsed["task4_markdown_text"]) == len(texts)
+    assert parsed["task5_summary"] == " ".join(cleaned)[:80].strip()
