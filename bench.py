@@ -103,7 +103,12 @@ def main() -> None:
     timed("simhash", qc.q_simhash(spark, SF_DIR))
     timed("ngram_jaccard", qc.q_ngram_jaccard(spark, SF_DIR))
     timed("ann_cosine_topk", qc.q_ann_cosine_topk(spark, SF_DIR))
+    timed("ann_ivf_assign", qc.q_ann_ivf_assign(spark, SF_DIR))
     timed("quality_score", qc.q_quality_score(spark, SF_DIR))
+
+    from ocr_dataset_builder_spark import queries_events as qe
+
+    timed("events_sessions", qe.q_events_sessions(spark, SF_DIR))
 
     print(
         json.dumps(

@@ -1,0 +1,61 @@
+"""Cross-micro-batch stateful dedup: state must survive between
+availableNow invocations via the state store."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from ocr_dataset_builder_spark.streaming.stateful import streaming_dedup
+
+SCHEMA = "doc_id string, frame_seq int, text string"
+
+
+def _run_pass(spark, in_dir, out_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stateful_dedup_across_batches(spark):
+    in_dir = tempfile.mkdtemp(prefix="odb_state_in_")
+    out_dir = tempfile.mkdtemp(prefix="odb_state_out_")
+    try:
+        # batch 1: doc a frames 0..2 (1 is a duplicate of 0)
+        b1 = spark.createDataFrame(
+            [("a", 0, "x"), ("a", 1, "x"), ("a", 2, "y"), ("b", 0, "m")], SCHEMA
+        )
+        b1.write.mode("append").parquet(in_dir)
+        _run_pass(spark, in_dir, out_dir)
+
+        # batch 2: doc a frame 3 duplicates frame 2's text — the duplicate
+        # relationship CROSSES the micro-batch boundary
+        b2 = spark.createDataFrame(
+            [("a", 3, "y"), ("a", 4, "z"), ("b", 1, "m"), ("b", 2, "n")], SCHEMA
+        )
+        b2.write.mode("append").parquet(in_dir)
+        _run_pass(spark, in_dir, out_dir)
+
+        got = sorted(
+            (r["doc_id"], r["frame_seq"], r["text"])
+            for r in spark.read.parquet(os.path.join(out_dir, "data")).collect()
+        )
+        assert got == [
+            ("a", 0, "x"),
+            ("a", 2, "y"),
+            ("a", 4, "z"),  # frame 3 dropped: dup of 2 across batches
+            ("b", 0, "m"),
+            ("b", 2, "n"),  # frame 1 dropped: dup of 0 across batches
+        ]
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
