@@ -24,7 +24,13 @@ def _registry() -> dict[str, tuple]:
 
     reg: dict[str, tuple] = {}
     reg.update(queries_spans.QUERIES)
-    for mod in ("queries_joins", "queries_corpus", "queries_refine", "queries_events"):
+    for mod in (
+        "queries_joins",
+        "queries_corpus",
+        "queries_refine",
+        "queries_events",
+        "queries_html",
+    ):
         try:
             import importlib
 

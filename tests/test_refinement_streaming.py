@@ -134,3 +134,12 @@ def test_multimodal_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_pdf_decode_stub_raises():
+    import pytest as _pytest
+
+    from ocr_dataset_builder_spark.operators.layout import decode_pdf
+
+    with _pytest.raises(NotImplementedError):
+        decode_pdf(b"%PDF-1.4")
