@@ -107,8 +107,11 @@ def main() -> None:
     timed("quality_score", qc.q_quality_score(spark, SF_DIR))
 
     from ocr_dataset_builder_spark import queries_events as qe
+    from ocr_dataset_builder_spark import queries_html as qh
 
     timed("events_sessions", qe.q_events_sessions(spark, SF_DIR))
+    timed("html_main_text", qh.q_html_main_text(spark, SF_DIR))
+    timed("boilerplate_phrases", qh.q_boilerplate_phrases(spark, SF_DIR))
 
     print(
         json.dumps(
