@@ -124,6 +124,37 @@ def ocr_spans(flat: DataFrame, use_arrow: bool = True) -> DataFrame:
     return flat.mapInArrow(_ocr_arrow, schema=schema)
 
 
+def ocr_scalar_udf(doc_id: F.Column, media_ref: F.Column, off: F.Column) -> F.Column:
+    """Scalar Arrow-vectorized pandas UDF form of the OCR stand-in.
+
+    Preferred in the flagship pipeline: with a scalar UDF only the
+    argument columns cross the Python boundary (ArrowEvalPython ships
+    just doc_id/media_ref/offset and receives one string column back),
+    so the document text payload never leaves the JVM. Rows where
+    media_ref is NULL (text spans) return NULL without work.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _ocr(doc_id_s: pd.Series, ref_s: pd.Series, off_s: pd.Series) -> pd.Series:
+        mask = ref_s.notna()
+        out = pd.Series([None] * len(doc_id_s), dtype=object)
+        if mask.any():
+            # <-- a real OCR engine would decode the referenced frame
+            # payloads here, batch-wise
+            out[mask] = (
+                "OCR "
+                + doc_id_s[mask].astype(str)
+                + "/"
+                + ref_s[mask].astype(str)
+                + "\nline "
+                + (off_s[mask] % 5).astype(str)
+            )
+        return out
+
+    return _ocr(doc_id, media_ref, off)
+
+
 def _to_arrow(dt):
     import pyarrow as pa
 

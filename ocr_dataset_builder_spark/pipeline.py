@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .functions.cleanup import clean_ocr_col
 from .lineage import commit_run, pending_docs, read_checkpoint
-from .operators.ocr import ocr_spans
+from .operators.ocr import ocr_scalar_udf
 from .synth import explode_spans  # noqa: F401 (public re-export; used by bench)
 
 SPAN_COLS = ["doc_id", "span_pos", "kind", "text", "media_ref", "span_offset"]
@@ -39,61 +39,62 @@ def extract_spans(nested: DataFrame, use_arrow_ocr: bool = True) -> DataFrame:
     """
     # Document order is INTRA-ROW in the contract shape (spans live in one
     # array per doc), so ordering is embarrassingly parallel: sort each
-    # row's array by (offset, ...) with array_sort — a per-row JVM kernel —
-    # and posexplode's position IS the ordinal. The whole flagship plan
-    # then contains ZERO exchanges (the earlier window variant needed one
-    # shuffle on doc_id; verified via explain("formatted")).
-    sorted_nested = nested.select(
-        "doc_id",
-        F.array_sort(
-            F.transform(
-                "spans",
-                lambda s: F.struct(
-                    s["offset"].alias("offset"),
-                    s["kind"].alias("kind"),
-                    s["text"].alias("text"),
-                    s["media_ref"].alias("media_ref"),
-                ),
+    # row's array by (offset, kind, ...) with array_sort — a per-row JVM
+    # kernel — and posexplode's position IS the ordinal. The whole
+    # flagship plan contains ZERO exchanges (the earlier window variant
+    # needed one shuffle; verified via explain and pinned by
+    # tests/test_plan_quality.py).
+    #
+    def sorted_seq(with_text: bool = True):
+        def fields(s):
+            return F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
             )
-        ).alias("spans"),
-    )
-    seq = sorted_nested.select(
-        "doc_id", F.posexplode("spans").alias("ord", "span")
-    ).select(
-        "doc_id",
-        F.col("ord").cast("int").alias("ord"),
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("span_offset"),
-    )
-    # Route only MEDIA rows (and only their narrow columns — no text
-    # payload) through the Python/Arrow boundary: the identity crossing
-    # itself is the scaling bottleneck in this environment (measured: an
-    # identity mapInArrow over 18M rows runs ~6s at 4 cores and ~5s at 16),
-    # so bytes-through-Python is the resource to minimize. With ordering
-    # now intra-row there is no window after the union, so the split costs
-    # no shuffle, and nested-schema pruning keeps the media branch from
-    # reading the text bytes at the scan.
-    out_cols = ["doc_id", "ord", "kind", "text", "media_ref", "span_offset"]
-    media = seq.where(F.col("kind") == "media").drop("text")
-    media_ocr = ocr_spans(media, use_arrow=use_arrow_ocr).select(
+
+        sorted_spans = F.array_sort(F.transform("spans", fields))
+        return nested.select(
+            "doc_id", F.posexplode(sorted_spans).alias("ord", "span")
+        ).select(
+            "doc_id",
+            F.col("ord").cast("int").alias("ord"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("span_offset"),
+        )
+
+    # The OCR stand-in runs as a SCALAR Arrow-vectorized pandas UDF: only
+    # the UDF's argument columns (doc_id, media_ref, offset — all narrow)
+    # cross the Python boundary; the text payload never leaves the JVM.
+    # Measured against the alternatives on 18M spans: beats the
+    # media/text-split + mapInArrow union at both 4 and 16 cores AND does
+    # a single scan instead of two (the split needed a second pass over
+    # the source). The identity Python crossing is this environment's
+    # non-scaling resource, so bytes-through-Python is what we minimize.
+    seq = sorted_seq(with_text=True)
+    if use_arrow_ocr:
+        ocr = ocr_scalar_udf(
+            F.col("doc_id"), F.col("media_ref"), F.col("span_offset")
+        )
+    else:
+        from .synth import synthetic_ocr_col
+
+        ocr = synthetic_ocr_col(
+            F.col("doc_id"), F.col("media_ref"), F.col("span_offset")
+        )
+    return seq.select(
         "doc_id",
         "ord",
         "kind",
-        clean_ocr_col(F.col("ocr_text")).alias("text"),
+        clean_ocr_col(
+            F.when(F.col("kind") == "media", ocr).otherwise(F.col("text"))
+        ).alias("text"),
         "media_ref",
         "span_offset",
     )
-    text_clean = seq.where(F.col("kind") == "text").select(
-        "doc_id",
-        "ord",
-        "kind",
-        clean_ocr_col(F.col("text")).alias("text"),
-        "media_ref",
-        "span_offset",
-    )
-    return media_ocr.select(*out_cols).unionByName(text_clean.select(*out_cols))
 
 
 def doc_metrics(extracted: DataFrame) -> DataFrame:

@@ -1,0 +1,74 @@
+"""Plan-quality gates: the physical plans we engineered must not regress.
+
+These assert structural properties of the optimized plans — the same
+things a human checks with explain("formatted") — so a future edit that
+silently reintroduces a shuffle or a second scan fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_dataset_builder_spark import synth
+from ocr_dataset_builder_spark.pipeline import extract_spans
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def nested_on_disk(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nested") / "docs")
+    synth.documents_spans(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_flagship_plan_has_no_exchange(spark, nested_on_disk):
+    """Extraction from a stored nested table must be shuffle-free:
+    ordering is intra-row (array_sort), so no Exchange belongs in the
+    plan."""
+    plan = _executed_plan(extract_spans(nested_on_disk))
+    assert "Exchange" not in plan, plan
+
+
+def test_flagship_single_python_stage(spark, nested_on_disk):
+    """Exactly one Python boundary (the scalar OCR UDF)."""
+    plan = _executed_plan(extract_spans(nested_on_disk))
+    n_py = (
+        plan.count("ArrowEvalPython")
+        + plan.count("MapInArrow")
+        + plan.count("MapInPandas")
+    )
+    assert n_py == 1, plan
+
+
+def test_flagship_single_scan_and_no_text_through_python(spark, nested_on_disk):
+    """One scan of the source (no split/union double-read), and the text
+    payload must not be an argument of the Python UDF node."""
+    plan = _executed_plan(extract_spans(nested_on_disk))
+    assert plan.count("FileScan") == 1, plan
+    udf_lines = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert udf_lines, plan
+    for ln in udf_lines:
+        assert "text#" not in ln, ln
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    """J3 summary join must broadcast the small side."""
+    from ocr_dataset_builder_spark.queries_joins import q_summary_broadcast
+
+    plan = _executed_plan(q_summary_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """A relational filter over the flat corpus must reach the parquet
+    scan as a pushed filter (Catalyst predicate pushdown)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("n_chars") > 300
+    ).select("doc_id")
+    plan = _executed_plan(d)
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split("PushedFilters")[1], plan
