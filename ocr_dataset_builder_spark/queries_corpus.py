@@ -69,28 +69,25 @@ sh AS (
 )"""
 
 
+def word_ngrams(t: F.Column, n: int) -> F.Column:
+    """Distinct word n-grams via zip_with over shifted slices — each slice
+    argument evaluates once per row (element_at inside a transform lambda
+    re-evaluates the split per element: O(tokens^2) regex work, measured
+    as the dominant cost of the shingle stages)."""
+    ln = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, ln)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, k + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(grams)
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
-    sh = nd.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size("t") - 2, F.lit(0))
-                    ),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("t", i),
-                        F.element_at("t", i + 1),
-                        F.element_at("t", i + 2),
-                    ),
-                )
-            )
-        ).alias("shingle"),
+    return nd.select(
+        "doc_id", F.explode(word_ngrams(F.col("t"), 3)).alias("shingle")
     )
-    # sequence(1, 0) in Spark is DESCENDING [1, 0] — drop docs with <3 tokens
-    return sh.where(F.col("shingle").isNotNull())
 
 
 # ---------------------------------------------------------------------------
@@ -667,22 +664,26 @@ _IVF_NPROBE = 2
 def _ivf_assign(spark: SparkSession, sf_dir: str, rank_max: int) -> DataFrame:
     """Distance of every vector to every centroid, ranked. Centroids are
     the vectors with vec_id % 50 == 0 — a deterministic stand-in for the
-    k-means training step (which at scale runs once, offline)."""
-    elem = _elem(spark, sf_dir)
-    cent = elem.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), "pos", F.col("x").alias("cx")
+    k-means training step (which at scale runs once, offline).
+
+    Shape: broadcast the tiny centroid table, cross join, and fold the
+    squared distance INSIDE the row with zip_with + aggregate over the
+    two arrays — decimal-exact (order-independent), whole-stage codegen,
+    and no 32M-row explode/shuffle (the exploded variant was ~10 s at
+    sf0.1; this is sub-second)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # squared L2 distance via decimal-exact per-element sums
-    d2 = (
-        elem.join(cent, "pos")
-        .groupBy("vec_id", "cent_id")
-        .agg(
-            F.sum(
-                F.round((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 9).cast(
-                    _DEC
-                )
-            ).alias("d2")
-        )
+    cent = e.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    d2_expr = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: F.round((a - b) * (a - b), 9).cast(_DEC)),
+        F.lit(0).cast("decimal(35,9)"),
+        lambda acc, x: (acc + x).cast("decimal(35,9)"),
+    )
+    d2 = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", d2_expr.alias("d2")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("d2").cast("double").asc(), F.col("cent_id").asc()

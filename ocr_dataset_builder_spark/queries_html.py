@@ -104,15 +104,11 @@ _PHRASE_FRAC = 0.15
 
 
 def _doc_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_corpus import word_ngrams
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    t = F.split(norm, " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        )
-    )
+    grams = word_ngrams(F.split(norm, " "), 2)
     return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "source",
@@ -130,10 +126,10 @@ doc_phrases AS (
   FROM documents
 ),
 src_sizes AS (
-  SELECT source, count(DISTINCT doc_id) AS n_src_docs FROM doc_phrases GROUP BY source
+  SELECT source, count(*) AS n_src_docs FROM documents GROUP BY source
 ),
 boiler AS (
-  SELECT p.source, p.phrase, count(DISTINCT p.doc_id) AS n_docs
+  SELECT p.source, p.phrase, count(*) AS n_docs
   FROM doc_phrases p
   GROUP BY 1, 2
 )
@@ -143,14 +139,21 @@ boiler AS (
 def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template phrases: 2-grams present in >= 15% of a source's docs."""
     phrases = _doc_phrases(spark, sf_dir)
-    sizes = phrases.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_src_docs")
+    # source sizes come from the base table — no second pass over the
+    # exploded phrase relation
+    sizes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_src_docs"))
     )
+    # phrases are already distinct per doc (array_distinct upstream), so
+    # a plain count equals the distinct doc count — no expensive
+    # distinct-aggregation expansion
     counts = phrases.groupBy("source", "phrase").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+        F.count("*").alias("n_docs")
     )
     return (
-        counts.join(sizes, "source")
+        counts.join(F.broadcast(sizes), "source")
         .where(F.col("n_docs") >= _PHRASE_FRAC * F.col("n_src_docs"))
         .select("source", "phrase", "n_docs")
     )
