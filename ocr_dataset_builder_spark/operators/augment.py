@@ -390,10 +390,41 @@ def apply_setting(text: str, setting_id: int, seed: int) -> str:
 # ---------------------------------------------------------------------------
 
 
+def assign_settings(df, seed: int = 42):
+    """Attach (setting_id, aug_seed): profile picked by a stable,
+    engine-portable hash of (doc_id, span_offset) — the deterministic
+    replacement for the reference's random.choice per sample (U6,
+    pytorch_dataset.py:596-601). The hash is the 60-bit md5-prefix
+    integer (identical in Spark and DuckDB), so the assignment itself is
+    fully SQL-oracle-able (see queries_refine.q_augment_assign)."""
+    from pyspark.sql import functions as F
+
+    def _h60(salt: int):
+        key = F.concat_ws(
+            ":", F.col("doc_id"), F.col("span_offset").cast("string"), F.lit(str(salt))
+        )
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+    return df.withColumn(
+        "setting_id", F.pmod(_h60(seed), F.lit(10)).cast("int")
+    ).withColumn("aug_seed", F.pmod(_h60(seed + 1), F.lit(2**31)).cast("bigint"))
+
+
+def duckdb_assign_sql(seed: int = 42) -> str:
+    """DuckDB twin of assign_settings (same md5-prefix arithmetic)."""
+    h = (
+        lambda s: "('0x' || substr(md5(doc_id || ':' || CAST(span_offset AS VARCHAR)"
+        f" || ':{s}'), 1, 15))::BIGINT"
+    )
+    return (
+        f"CAST({h(seed)} % 10 AS INT) AS setting_id, "
+        f"CAST({h(seed + 1)} % {2**31} AS BIGINT) AS aug_seed"
+    )
+
+
 def augment_stage(df, text_col: str = "text", seed: int = 42):
-    """Attach (setting_id, augmented): profile picked by a stable hash of
-    (doc_id, span_offset) — the deterministic replacement for the
-    reference's random.choice per sample (U6, pytorch_dataset.py:596-601).
+    """Attach (setting_id, aug_seed, augmented): portable-hash profile
+    assignment (assign_settings) followed by the seeded text rewrite.
     Runs as mapInPandas over Arrow batches; the per-row Python inside the
     batch is the string-rewrite itself (inherently per-string work, same
     as the reference's augmentation functions).
@@ -401,16 +432,9 @@ def augment_stage(df, text_col: str = "text", seed: int = 42):
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    with_sid = df.withColumn(
-        "setting_id",
-        F.pmod(F.xxhash64("doc_id", "span_offset", F.lit(seed)), F.lit(10)).cast("int"),
-    ).withColumn(
-        "aug_seed",
-        F.pmod(F.xxhash64("doc_id", "span_offset", F.lit(seed + 1)), F.lit(2**31)).cast("bigint"),
-    )
+    with_sid = assign_settings(df, seed=seed)
 
     schema = StructType(
         list(with_sid.schema.fields) + [StructField("augmented", StringType())]

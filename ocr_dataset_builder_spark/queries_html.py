@@ -148,7 +148,10 @@ def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # phrases are already distinct per doc (array_distinct upstream), so
     # a plain count equals the distinct doc count — no expensive
-    # distinct-aggregation expansion
+    # distinct-aggregation expansion. This relies on doc_id being unique
+    # in documents.parquet (pinned by tests/test_synth_parity.py::
+    # test_documents_doc_id_unique); duplicate doc_id rows would inflate
+    # both n_docs and n_src_docs.
     counts = phrases.groupBy("source", "phrase").agg(
         F.count("*").alias("n_docs")
     )
@@ -191,7 +194,7 @@ bset AS (
 )
 SELECT p.doc_id,
        count(*) AS n_phrases,
-       sum(CASE WHEN bs.phrase IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler,
+       CAST(sum(CASE WHEN bs.phrase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
        round(sum(CASE WHEN bs.phrase IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS boiler_ratio
 FROM doc_phrases p
 LEFT JOIN bset bs ON bs.source = p.source AND bs.phrase = p.phrase

@@ -475,7 +475,7 @@ SELECT CASE WHEN doc_key % 17 = 0 THEN 'failed'
             WHEN doc_key % 13 = 0 THEN 'no_video'
             ELSE 'success' END AS status,
        count(*) AS n_docs,
-       sum(frames) AS frames_saved
+       CAST(sum(frames) AS BIGINT) AS frames_saved
 FROM per_doc GROUP BY 1
 """
 

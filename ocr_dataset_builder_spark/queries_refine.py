@@ -90,10 +90,40 @@ FROM span_rows WHERE kind = 'media'
 """
 
 
+def q_augment_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: deterministic profile assignment for augmentation — the
+    engine-portable hash half of the augment stage, fully SQL-oracle-able.
+    The seeded text rewrite itself (U4/U5) is CPython-Mersenne RNG, pinned
+    byte-identical to reference data/ocr_augmentations.py:36-420 by
+    tests/test_augment.py (executes the reference module directly)."""
+    from .operators.augment import assign_settings
+
+    text_spans = (
+        span_rows(spark, sf_dir)
+        .where("kind = 'text'")
+        .select("doc_id", "span_offset")
+    )
+    return assign_settings(text_spans).select(
+        "doc_id", "span_offset", "setting_id", "aug_seed"
+    )
+
+
+def _augment_assign_sql() -> str:
+    from .operators.augment import duckdb_assign_sql
+
+    return f"""WITH {DUCKDB_SPANS_CTE}
+SELECT doc_id, span_offset, {duckdb_assign_sql()}
+FROM span_rows WHERE kind = 'text'
+"""
+
+
+SQL_AUGMENT_ASSIGN = _augment_assign_sql()
+
+
 def q_augment_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U4/U5/U6: seeded augmentation over cleaned text spans. The RNG is
-    CPython Mersenne (pinned byte-identical to the reference by
-    tests/test_augment.py), not SQL-expressible -> rows-only check."""
+    """U4/U5/U6: full seeded augmentation over cleaned text spans (used by
+    tests; the driver-facing contract is q_augment_assign + the byte-parity
+    pytest for the transform — the Mersenne rewrite is not SQL-expressible)."""
     from .functions.cleanup import clean_ocr_col
     from .operators.augment import augment_stage
 
@@ -111,5 +141,5 @@ QUERIES: dict[str, tuple] = {
     "refine_frames": (q_refine_frames, SQL_REFINE_FRAMES),
     "refine_summary": (q_refine_summary, SQL_REFINE_SUMMARY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "augment_profiles": (q_augment_profiles, None),
+    "augment_assign": (q_augment_assign, SQL_AUGMENT_ASSIGN),
 }
