@@ -79,12 +79,36 @@ def sample_k(
 
 def slice_window(df: DataFrame, start: int, end: int, order_cols: list[str]) -> DataFrame:
     """F7: global slice remaining[start:end] (reference
-    video/frame_pipeline.py:251-275). 0-based, end exclusive."""
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    video/frame_pipeline.py:251-275). 0-based, end exclusive.
+
+    Two-phase global index (scale-safe — no single-partition window over
+    the full relation):
+
+    1. bucket = the leading order column; per-bucket counts are one
+       parallel aggregation, and the cumulative-offset window runs over
+       the tiny (bucket, count) relation only — O(distinct buckets) rows
+       of two longs, never the data itself;
+    2. per-bucket local ``row_number`` (parallel, partitioned window)
+       plus the broadcast bucket offset gives the exact global index.
+
+    Buckets wholly outside [start, end) are pruned before the join, so
+    the expensive side of the broadcast join drops out of the slice
+    range early.
+    """
+    head, *rest = order_cols
+    counts = df.groupBy(head).agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy(head).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col(head),
+        F.col("_n"),
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    ).where((F.col("_off") < end) & (F.col("_off") + F.col("_n") > start))
+    w_local = Window.partitionBy(head).orderBy(*[F.col(c) for c in (rest or [head])])
     return (
-        df.withColumn("_rn", F.row_number().over(w) - 1)
-        .where((F.col("_rn") >= start) & (F.col("_rn") < end))
-        .drop("_rn")
+        df.join(F.broadcast(offsets.drop("_n")), head)
+        .withColumn("_gidx", F.col("_off") + F.row_number().over(w_local) - 1)
+        .where((F.col("_gidx") >= start) & (F.col("_gidx") < end))
+        .select(*df.columns)
     )
 
 

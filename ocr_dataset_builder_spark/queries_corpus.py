@@ -176,8 +176,11 @@ WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= {_JACCARD_MIN}
 # minhash_sig + minhash_lsh — signatures and banded candidate pairs
 # ---------------------------------------------------------------------------
 
-_N_HASHES = 4
-_SEEDS = "abcd"
+_N_HASHES = 16
+_SEEDS = "abcdefghijklmnop"
+_LSH_ROWS = 4  # r: minhashes per band
+_LSH_BANDS = _N_HASHES // _LSH_ROWS  # b = 4
+_LSH_BUCKET_CAP = 64  # degenerate-bucket guard (boilerplate-heavy corpora)
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,26 +205,41 @@ FROM sh GROUP BY doc_id
 """
 
 
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt signatures into (doc_id, band_id, band_sig): band signature is
+    the joined r=4 consecutive minhashes — production banding, not the
+    toy r=1 form."""
+    sig = q_minhash_sig(spark, sf_dir)
+    band_cols = [
+        F.concat_ws(
+            ",",
+            *[F.col(f"sig{b * _LSH_ROWS + r}").cast("string") for r in range(_LSH_ROWS)],
+        )
+        for b in range(_LSH_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig")
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding (r=1, b=4): candidate pairs sharing any signature band.
+    """LSH banding (16 minhashes, b=4 bands x r=4 rows): candidate pairs
+    sharing any full band of 4 consecutive signatures.
 
     Single-pass shape for scale: signatures are computed once, melted to
-    (band_id, band_sig) rows with posexplode (no 4-way union re-scan),
+    (band_id, band_sig) rows with posexplode (no b-way union re-scan),
     then ONE shuffle groups same-bucket docs and pairs are expanded
-    in-bucket (bucket sizes are bounded, so the expansion is local) —
-    no self-join, no second scan of the corpus.
+    in-bucket — no self-join, no second scan of the corpus. Buckets
+    larger than _LSH_BUCKET_CAP are dropped (degenerate near-identical
+    mass — exact dedup catches those; q_minhash_lsh_stats reports how
+    many buckets/docs the cap dropped so the drop is observable, not
+    silent). The cap is applied identically in the DuckDB oracle.
     """
-    sig = q_minhash_sig(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"sig{i}") for i in range(_N_HASHES)])
-        ).alias("band_id", "band_sig"),
-    )
+    bands = _minhash_bands(spark, sf_dir)
     buckets = (
         bands.groupBy("band_id", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
+        .where((F.size("ds") > 1) & (F.size("ds") <= _LSH_BUCKET_CAP))
     )
     pairs = buckets.select(
         F.explode(
@@ -236,18 +254,127 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MINHASH_LSH = f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
+def _band_sig_sql(b: int) -> str:
+    return " || ',' || ".join(
+        f"CAST(sig{b * _LSH_ROWS + r} AS VARCHAR)" for r in range(_LSH_ROWS)
+    )
+
+
+_BANDS_CTE = f""",
 sig AS (
   SELECT doc_id, {_SIG_COLS_SQL}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_id, sig{i} AS band_sig FROM sig" for i in range(_N_HASHES))}
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_sig_sql(b)} AS band_sig FROM sig" for b in range(_LSH_BANDS))}
+),
+bsz AS (
+  SELECT band_id, band_sig, count(*) AS n FROM bands GROUP BY 1, 2
+)"""
+
+SQL_MINHASH_LSH = f"""WITH {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE},
+kept AS (
+  SELECT b.doc_id, b.band_id, b.band_sig
+  FROM bands b JOIN bsz s ON s.band_id = b.band_id AND s.band_sig = b.band_sig
+  WHERE s.n BETWEEN 2 AND {_LSH_BUCKET_CAP}
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
-FROM bands a JOIN bands b
+FROM kept a JOIN kept b
   ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+def q_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the bucket cap: per band, how many buckets exist,
+    how many are candidate buckets (>1 doc), how many the cap dropped and
+    how many docs sat in dropped buckets. At 100 TB this is the cheap
+    side-output that tells you whether the cap is silently eating recall."""
+    bsz = (
+        _minhash_bands(spark, sf_dir)
+        .groupBy("band_id", "band_sig")
+        .agg(F.count("*").alias("n"))
+    )
+    return bsz.groupBy("band_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_candidate_buckets"),
+        F.sum(F.when(F.col("n") > _LSH_BUCKET_CAP, 1).otherwise(0)).alias(
+            "n_dropped_buckets"
+        ),
+        F.sum(F.when(F.col("n") > _LSH_BUCKET_CAP, F.col("n")).otherwise(0)).alias(
+            "docs_in_dropped"
+        ),
+    )
+
+
+SQL_MINHASH_LSH_STATS = f"""WITH {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE}
+SELECT band_id,
+       count(*) AS n_buckets,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_buckets,
+       CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+       CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP} THEN n ELSE 0 END) AS BIGINT) AS docs_in_dropped
+FROM bsz GROUP BY band_id
+"""
+
+
+def q_minhash_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed near-dup entry point for text at scale: candidate pairs
+    from MinHash-LSH buckets, exact n-gram Jaccard computed ONLY on the
+    candidates (two key-joins against the shingle relation, each linear in
+    candidates x shingles-per-doc) — never the all-pairs shingle self-join
+    that q_ngram_jaccard uses as its tiny-scale oracle form."""
+    cands = q_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    shared = (
+        cands.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+SQL_MINHASH_JACCARD_VERIFY = f"""WITH {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE},
+kept AS (
+  SELECT b.doc_id, b.band_id, b.band_sig
+  FROM bands b JOIN bsz s ON s.band_id = b.band_id AND s.band_sig = b.band_sig
+  WHERE s.n BETWEEN 2 AND {_LSH_BUCKET_CAP}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.a_id, c.b_id, count(*) AS shared
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= {_JACCARD_MIN}
 """
 
 
@@ -294,10 +421,59 @@ FROM agg
 """
 
 
+_SIM_BANDS = _HAMMING_MAX + 1  # pigeonhole: > max hamming differing bits
+_SIM_BAND_BITS = _SIMHASH_BITS // _SIM_BANDS
+
+
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance. The cross join here is
-    the tiny-scale form; at scale, bucket by simhash bit-bands first
-    (same trick as MinHash LSH) so only same-bucket pairs are compared."""
+    """Near-dup pairs by simhash hamming distance — bit-band bucketed
+    (the same melt-shuffle-expand shape as q_minhash_lsh, NO cross join).
+
+    Exactness: with hamming <= 3 and 4 disjoint bands, pigeonhole
+    guarantees every near pair agrees on at least one whole band, so
+    bucketing by band value + verifying exact hamming in-bucket returns
+    the identical pair set as the all-pairs comparison (which remains the
+    DuckDB oracle and the q_simhash_near_allpairs verification helper).
+    At production scale use a 64-bit simhash with 16-bit bands (65536
+    buckets/band); the 16-bit/4-bit config here keeps the oracle's 16
+    bit-sum columns readable — the plan shape is identical.
+    """
+    s = q_simhash(spark, sf_dir)
+    band_vals = F.array(
+        *[
+            F.shiftright("simhash", b * _SIM_BAND_BITS)
+            .bitwiseAND(F.lit((1 << _SIM_BAND_BITS) - 1))
+            .cast("int")
+            for b in range(_SIM_BANDS)
+        ]
+    )
+    bands = s.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band_id", "band_val")
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+                "y -> struct(x.doc_id AS a_id, y.doc_id AS b_id, "
+                "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id", "p.hamming")
+    return (
+        pairs.where(F.col("hamming") <= _HAMMING_MAX)
+        .groupBy("a_id", "b_id")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+def q_simhash_near_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs verification form of q_simhash_near (cross join — tiny
+    inputs only; tests assert it equals the banded plan)."""
     s = q_simhash(spark, sf_dir)
     a = s.alias("a")
     b = s.alias("b")
@@ -619,9 +795,12 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     w(p,d) = ((p*1103515245 + d*12345) % 2001) - 1000 — deterministic and
     engine-portable. Bucket = 8-bit sign pattern; ANN candidates are
     same-bucket vectors (linear shuffle, no cross product)."""
+    # planes expand IN-ROW (explode of a literal sequence) — no join node
+    # at all, so downstream compositions stay free of nested-loop joins
     elem = _elem(spark, sf_dir)
-    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p"))
-    we = elem.crossJoin(planes).withColumn(
+    we = elem.withColumn(
+        "p", F.explode(F.sequence(F.lit(0), F.lit(_N_PLANES - 1)))
+    ).withColumn(
         "w",
         (
             (F.col("p").cast("bigint") * 1103515245 + F.col("pos").cast("bigint") * 12345)
@@ -828,6 +1007,90 @@ WHERE round(CAST(dot AS DOUBLE) /
 """
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed near-dup entry point for embeddings at scale: candidate
+    pairs come from the hyperplane-LSH buckets (q_ann_lsh_bucket — linear
+    shuffle), and cosine is verified ONLY on in-bucket candidates with an
+    in-row decimal fold over the two carried vectors (zip_with +
+    aggregate, no per-element explode/shuffle). This replaces the
+    all-pairs q_embedding_near_dup as the default path; the all-pairs
+    form stays registered as the tiny-scale recall baseline."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = q_ann_lsh_bucket(spark, sf_dir)
+    ev = e.join(b, "vec_id")
+    buckets = (
+        ev.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("vs"))
+        .where(F.size("vs") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(vs, (x, i) -> transform(slice(vs, i + 2, size(vs)), "
+                "y -> struct(x.vec_id AS a_id, y.vec_id AS b_id, x.v AS av, y.v AS bv))))"
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id", "p.av", "p.bv")
+
+    def _fold(arr: F.Column) -> F.Column:
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(35,9)"),
+            lambda acc, x: (acc + x).cast("decimal(35,9)"),
+        )
+
+    dot = _fold(F.zip_with("av", "bv", lambda a, c: F.round(a * c, 9).cast(_DEC)))
+    n2a = _fold(F.transform("av", lambda x: F.round(x * x, 9).cast(_DEC)))
+    n2b = _fold(F.transform("bv", lambda x: F.round(x * x, 9).cast(_DEC)))
+    cos = pairs.select(
+        "a_id",
+        "b_id",
+        F.round(
+            dot.cast("double") / F.sqrt(n2a.cast("double") * n2b.cast("double")), 4
+        ).alias("cos"),
+    )
+    return cos.where(F.col("cos") >= _COS_DUP_MIN)
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = f"""WITH {_EMB_ELEM_CTE},
+planes AS (SELECT CAST(unnest(range(0, {_N_PLANES})) AS INT) AS p),
+sums AS (
+  SELECT e.vec_id, pl.p,
+         sum(CAST(round(CAST((CAST(pl.p AS BIGINT) * 1103515245 + CAST(e.pos AS BIGINT) * 12345) % 2001 - 1000 AS DOUBLE) * e.x, 9)
+                  AS DECIMAL(25,9))) AS s
+  FROM elem e CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+bkt AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM sums GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bkt a JOIN bkt b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.a_id, c.b_id,
+         sum(CAST(round(ea.x * eb.x, 9) AS DECIMAL(25,9))) AS dot
+  FROM cand c
+  JOIN elem ea ON ea.vec_id = c.a_id
+  JOIN elem eb ON eb.vec_id = c.b_id AND eb.pos = ea.pos
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(dot AS DOUBLE) /
+             sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = a_id
+JOIN norms nb ON nb.vec_id = b_id
+WHERE round(CAST(dot AS DOUBLE) /
+            sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) >= {_COS_DUP_MIN}
+"""
+
+
 _ALLOWLIST = ("3", "7", "12", "9999991")  # last id never exists
 
 
@@ -855,11 +1118,14 @@ SELECT doc_id FROM d, m WHERE doc_id IN {_ALLOWLIST!r} OR m.c = 0
 
 QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, SQL_EMBEDDING_NEAR_DUP_LSH),
     "allowlist_filter": (q_allowlist_filter, SQL_ALLOWLIST_FILTER),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "minhash_lsh_stats": (q_minhash_lsh_stats, SQL_MINHASH_LSH_STATS),
+    "minhash_jaccard_verify": (q_minhash_jaccard_verify, SQL_MINHASH_JACCARD_VERIFY),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near": (q_simhash_near, SQL_SIMHASH_NEAR),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -72,3 +72,66 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     ).select("doc_id")
     plan = _executed_plan(d)
     assert "PushedFilters: [" in plan and "n_chars" in plan.split("PushedFilters")[1], plan
+
+
+def test_simhash_near_plan_has_no_cartesian(spark, sf_dir):
+    """Banded simhash near-dup must not regress to a cross join."""
+    from ocr_dataset_builder_spark.queries_corpus import q_simhash_near
+
+    plan = _executed_plan(q_simhash_near(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_near_dup_lsh_plan_has_no_cartesian(spark, sf_dir):
+    """LSH-composed embedding near-dup must not regress to all-pairs."""
+    from ocr_dataset_builder_spark.queries_corpus import q_embedding_near_dup_lsh
+
+    plan = _executed_plan(q_embedding_near_dup_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_jaccard_verify_plan_has_no_cartesian(spark, sf_dir):
+    from ocr_dataset_builder_spark.queries_corpus import q_minhash_jaccard_verify
+
+    plan = _executed_plan(q_minhash_jaccard_verify(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_slice_window_row_number_is_partitioned(spark, sf_dir):
+    """F7 two-phase slice: the row_number over the FULL relation must be a
+    partitioned window (per-bucket local index); only the tiny per-bucket
+    offsets relation may pass through a single-partition window."""
+    import re
+
+    from ocr_dataset_builder_spark.queries_spans import q_slice_window
+
+    plan = _executed_plan(q_slice_window(spark, sf_dir))
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, plan
+    for ln in rn_lines:
+        # partitioned spec lists the partition column WITHOUT a sort
+        # direction before the order columns: 'doc_id#N, span_offset#M ASC'
+        assert re.search(r"windowspecdefinition\(doc_id#\d+, ", ln), ln
+    # the broadcast of the pruned offsets relation must be present
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_simhash_near_banded_equals_allpairs(spark, sf_dir):
+    """The banding is exact for hamming <= 3 (pigeonhole over 4 bands)."""
+    from ocr_dataset_builder_spark.queries_corpus import (
+        q_simhash_near,
+        q_simhash_near_allpairs,
+    )
+
+    banded = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in q_simhash_near(spark, sf_dir).collect()
+    }
+    allp = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in q_simhash_near_allpairs(spark, sf_dir).collect()
+    }
+    assert banded == allp
