@@ -32,18 +32,31 @@ LINEAGE_SCHEMA = (
 )
 
 
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a parquet table, yielding an empty typed relation when the
+    path does not exist yet. The probe is the read itself (catching the
+    PATH_NOT_FOUND AnalysisException), NOT a driver-local
+    ``os.path.exists`` — which is always false for hdfs://, s3a:// and
+    any other non-local URI, and would silently restart resume from zero
+    on exactly the distributed deployments this targets."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
-    path = os.path.join(checkpoint_dir, "checkpoint")
-    if not os.path.exists(path):
-        return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-    return spark.read.parquet(path)
+    return _read_or_empty(
+        spark, os.path.join(checkpoint_dir, "checkpoint"), CHECKPOINT_SCHEMA
+    )
 
 
 def read_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
-    path = os.path.join(checkpoint_dir, "lineage")
-    if not os.path.exists(path):
-        return spark.createDataFrame([], LINEAGE_SCHEMA)
-    return spark.read.parquet(path)
+    return _read_or_empty(
+        spark, os.path.join(checkpoint_dir, "lineage"), LINEAGE_SCHEMA
+    )
 
 
 def pending_docs(nested: DataFrame, checkpoint: DataFrame) -> DataFrame:

@@ -46,17 +46,22 @@ def ocr_media(media: DataFrame, use_arrow: bool = True) -> DataFrame:
     schema = StructType(list(media.schema.fields) + [StructField("ocr_text", StringType())])
 
     def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             pdf = pdf.copy()
             # <-- a real OCR engine would decode pdf['media_ref'] payloads
-            # here, batch-wise. Deterministic stand-in:
+            # here, batch-wise. Deterministic stand-in. np.fmod (truncated
+            # modulo, sign of dividend) matches the JVM/DuckDB `%`, so the
+            # arrow and JVM paths agree even for negative offsets (Python's
+            # own `%` is floored and would diverge there).
             pdf["ocr_text"] = (
                 "OCR "
                 + pdf["doc_id"].astype(str)
                 + "/"
                 + pdf["media_ref"].astype(str)
                 + "\nline "
-                + (pdf["span_offset"] % 5).astype(str)
+                + np.fmod(pdf["span_offset"], 5).astype(str)
             )
             yield pdf
 
@@ -137,18 +142,21 @@ def ocr_scalar_udf(doc_id: F.Column, media_ref: F.Column, off: F.Column) -> F.Co
 
     @pandas_udf("string")
     def _ocr(doc_id_s: pd.Series, ref_s: pd.Series, off_s: pd.Series) -> pd.Series:
+        import numpy as np
+
         mask = ref_s.notna()
         out = pd.Series([None] * len(doc_id_s), dtype=object)
         if mask.any():
             # <-- a real OCR engine would decode the referenced frame
-            # payloads here, batch-wise
+            # payloads here, batch-wise. np.fmod = truncated modulo,
+            # matching the JVM/DuckDB `%` for negative offsets too.
             out[mask] = (
                 "OCR "
                 + doc_id_s[mask].astype(str)
                 + "/"
                 + ref_s[mask].astype(str)
                 + "\nline "
-                + (off_s[mask] % 5).astype(str)
+                + np.fmod(off_s[mask], 5).astype(str)
             )
         return out
 

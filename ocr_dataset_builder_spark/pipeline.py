@@ -118,6 +118,10 @@ def doc_metrics(extracted: DataFrame) -> DataFrame:
     )
 
 
+def run_path(output_dir: str, run_id: str) -> str:
+    return os.path.join(output_dir, "extracted", f"run_id={run_id}")
+
+
 def run_extraction(
     spark: SparkSession,
     nested: DataFrame,
@@ -125,20 +129,42 @@ def run_extraction(
     run_id: str = "run0",
     use_arrow_ocr: bool = True,
 ) -> int:
-    """Resumable batch run: anti-join completed docs, extract, write data +
-    lineage. Returns number of docs processed this run."""
+    """Resumable batch run: anti-join completed docs, extract, stage the
+    run's output under its own ``run_id=`` partition directory, commit the
+    checkpoint last. Returns number of docs processed this run.
+
+    Failure semantics (at-least-once with idempotent commit): the data
+    write targets ONLY this run's directory with mode=overwrite, so a
+    retry of the same run_id replaces rather than duplicates; a crash
+    between data write and checkpoint commit leaves an orphan run dir
+    that :func:`read_extracted` filters out (only committed run_ids are
+    visible to readers). Metrics are computed from the staged run dir —
+    O(this run), never a scan of the whole output history.
+    """
     ck = read_checkpoint(spark, output_dir)
     pending = pending_docs(nested, ck)
     extracted = extract_spans(pending, use_arrow_ocr=use_arrow_ocr)
 
-    extracted.write.mode("append").parquet(os.path.join(output_dir, "extracted"))
+    staged = run_path(output_dir, run_id)
+    extracted.write.mode("overwrite").parquet(staged)
 
-    metrics = doc_metrics(
-        spark.read.parquet(os.path.join(output_dir, "extracted")).join(
-            pending.select("doc_id"), "doc_id", "left_semi"
-        )
-    )
+    # schema given explicitly: a pending-empty run writes no part files
+    # and schema inference would fail on the bare directory
+    metrics = doc_metrics(spark.read.schema(extracted.schema).parquet(staged))
     n = metrics.count()
     if n:
         commit_run(spark, output_dir, run_id, metrics)
     return n
+
+
+def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Committed-only view of the extracted output: run directories whose
+    run_id never reached the checkpoint (crash between data write and
+    commit) are invisible, so retries can never surface duplicate rows.
+    The committed-run set is tiny (one id per run) — broadcast semi-join."""
+    data = spark.read.parquet(os.path.join(output_dir, "extracted"))
+    # partition-value inference may type a numeric run_id as int —
+    # normalize to string to match the checkpoint column
+    data = data.withColumn("run_id", F.col("run_id").cast("string"))
+    committed = read_checkpoint(spark, output_dir).select("run_id").distinct()
+    return data.join(F.broadcast(committed), "run_id", "left_semi")

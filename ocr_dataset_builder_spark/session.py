@@ -57,5 +57,13 @@ def get_spark(
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
-    builder = builder.master(master)
+    # Under spark-submit the Python driver is launched BY the JVM (the
+    # py4j gateway is pre-created and spark.master comes from the submit
+    # command); calling .master() there would silently force local mode.
+    # Only set a local master when this process owns the JVM launch.
+    launched_by_submit = (
+        "PYSPARK_GATEWAY_PORT" in os.environ or os.environ.get("SPARK_MASTER")
+    )
+    if not launched_by_submit:
+        builder = builder.master(master)
     return builder.getOrCreate()

@@ -18,11 +18,14 @@ Rebuild, two equivalent modes:
   anti-join against the lineage checkpoint (pipeline.run_extraction
   already is that), per pass.
 
-Exactly-once: foreachBatch writes data + checkpoint rows per micro-batch;
-Spark's streaming checkpoint makes re-delivery idempotent at the file
-level (D2 — the reference's "checkpoint only after full success").
-No watermarks/event-time: the reference has none (D3); batching is
-count-based (A2), not time-based.
+Delivery: at-least-once with idempotent commit (D2 — the reference's
+"checkpoint only after full success"). Each micro-batch stages its data
+under a run-scoped ``run_id=`` directory with mode=overwrite, so a
+re-delivered batch REPLACES its own previous partial output instead of
+appending duplicates; a crash between the data write and the checkpoint
+commit leaves an orphan run dir that ``pipeline.read_extracted`` hides
+from readers (committed run_ids only). No watermarks/event-time: the
+reference has none (D3); batching is count-based (A2), not time-based.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..pipeline import extract_spans, doc_metrics
+from ..pipeline import extract_spans, doc_metrics, run_path
 from ..lineage import commit_run
 
 NESTED_SCHEMA = (
@@ -53,18 +56,19 @@ def watch_available_now(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch_run_id = f"{run_id}-b{batch_id}"
+        staged = run_path(output_dir, batch_run_id)
         extracted = extract_spans(batch_df)
-        extracted.write.mode("append").parquet(os.path.join(output_dir, "extracted"))
+        # run-scoped overwrite: re-delivery of this batch_id replaces its
+        # own output (idempotent), and metrics read ONLY the staged dir —
+        # O(batch), never a rescan of the whole output history
+        extracted.write.mode("overwrite").parquet(staged)
         metrics = doc_metrics(
-            batch_df.sparkSession.read.parquet(
-                os.path.join(output_dir, "extracted")
-            ).join(batch_df.select("doc_id"), "doc_id", "left_semi")
+            batch_df.sparkSession.read.schema(extracted.schema).parquet(staged)
         )
         n = metrics.count()
         if n:
-            commit_run(
-                batch_df.sparkSession, output_dir, f"{run_id}-b{batch_id}", metrics
-            )
+            commit_run(batch_df.sparkSession, output_dir, batch_run_id, metrics)
         processed["n"] += n
 
     stream = (

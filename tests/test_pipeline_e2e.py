@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from ocr_dataset_builder_spark import synth
 from ocr_dataset_builder_spark.functions.cleanup import clean_ocr_text
-from ocr_dataset_builder_spark.pipeline import extract_spans, run_extraction
+from ocr_dataset_builder_spark.pipeline import (
+    extract_spans,
+    read_extracted,
+    run_extraction,
+    run_path,
+)
 from ocr_dataset_builder_spark.lineage import read_checkpoint, read_lineage
 
 
@@ -71,10 +76,10 @@ def test_resume_anti_join_equals_cold_run(spark, sf_dir):
         assert n2 < n_cold  # resume actually skipped completed docs
 
         cold = sorted(
-            map(tuple, spark.read.parquet(f"{cold_dir}/extracted").collect())
+            map(tuple, read_extracted(spark, cold_dir).drop("run_id").collect())
         )
         warm = sorted(
-            map(tuple, spark.read.parquet(f"{warm_dir}/extracted").collect())
+            map(tuple, read_extracted(spark, warm_dir).drop("run_id").collect())
         )
         assert cold == warm  # outputs identical to a cold run (fx_resume)
 
@@ -90,3 +95,52 @@ def test_resume_anti_join_equals_cold_run(spark, sf_dir):
     finally:
         shutil.rmtree(cold_dir, ignore_errors=True)
         shutil.rmtree(warm_dir, ignore_errors=True)
+
+def test_metrics_read_is_run_scoped(spark, sf_dir):
+    """The lineage metrics computation must scan ONLY the current run's
+    staged directory — never the whole output history (O(history) per
+    incremental pass was the round-1 regression)."""
+    nested = synth.documents_spans(spark, sf_dir).cache()
+    half = nested.where(F.col("doc_id").cast("bigint") % 2 == 0)
+    out = tempfile.mkdtemp(prefix="odb_scoped_")
+    try:
+        run_extraction(spark, half, out, run_id="r1")
+        run_extraction(spark, nested, out, run_id="r2")
+        from ocr_dataset_builder_spark.pipeline import doc_metrics
+
+        # reconstruct the r2 metrics input the way run_extraction builds it
+        staged = run_path(out, "r2")
+        m = doc_metrics(spark.read.parquet(staged))
+        files = m.inputFiles()
+        assert files, "metrics plan reads no files?"
+        assert all("run_id=r2" in f for f in files), files
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_uncommitted_run_invisible_and_retry_idempotent(spark, sf_dir):
+    """Crash-window semantics: a run whose data was written but whose
+    checkpoint commit never happened (orphan run dir) must be invisible
+    to readers, and retrying under the same run_id must replace, not
+    duplicate."""
+    nested = synth.documents_spans(spark, sf_dir).cache()
+    out = tempfile.mkdtemp(prefix="odb_orphan_")
+    try:
+        n1 = run_extraction(spark, nested, out, run_id="r1")
+        committed = read_extracted(spark, out)
+        total_committed = committed.count()
+
+        # simulate the crash: stage data for r2 WITHOUT committing
+        orphan = extract_spans(nested.limit(5))
+        orphan.write.mode("overwrite").parquet(run_path(out, "r2"))
+        assert read_extracted(spark, out).count() == total_committed  # invisible
+
+        # retry r1 end-to-end: same run_id overwrites its own output
+        # (pending is empty now, so the staged dir is replaced with an
+        # empty run -> committed rows all come from the r1 checkpoint)
+        docs_before = read_checkpoint(spark, out).count()
+        run_extraction(spark, nested, out, run_id="r1b")
+        assert read_checkpoint(spark, out).count() == docs_before
+        assert n1 > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
