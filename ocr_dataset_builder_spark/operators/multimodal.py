@@ -69,3 +69,71 @@ def decode_image(*_args, **_kwargs):
         "image decode requires cv2/PIL, not present in this environment; "
         "decode_features provides the deterministic stand-in"
     )
+
+
+# ---------------------------------------------------------------------------
+# F3 — resize arithmetic (reference video/processing.py:163-185)
+# ---------------------------------------------------------------------------
+#
+# The pixel resampling itself needs cv2 (absent here), but the *decision*
+# the reference makes — output dims and interpolation mode — is pure
+# arithmetic and is what downstream stages consume. Expressed as JVM
+# columns so it is oracle-checkable end to end:
+#   if max_dim > 0 and max(h, w) > max_dim:
+#       scale = max_dim / max(h, w)
+#       out   = (int(w * scale), int(h * scale))   # int() truncates
+#       mode  = INTER_AREA if scale < 1.0 else INTER_LINEAR
+#   else: unchanged, mode NULL (no resize)
+
+INTER_AREA = "INTER_AREA"
+INTER_LINEAR = "INTER_LINEAR"
+
+
+def resize_dims(
+    h: F.Column, w: F.Column, max_dimension: int
+) -> tuple[F.Column, F.Column, F.Column]:
+    """Returns (out_h, out_w, interpolation) columns."""
+    cur_max = F.greatest(h, w).cast("double")
+    needs = (F.lit(max_dimension) > 0) & (cur_max > max_dimension)
+    scale = F.lit(float(max_dimension)) / cur_max
+    out_h = F.when(needs, F.floor(h.cast("double") * scale).cast("int")).otherwise(
+        h.cast("int")
+    )
+    out_w = F.when(needs, F.floor(w.cast("double") * scale).cast("int")).otherwise(
+        w.cast("int")
+    )
+    interp = F.when(
+        needs,
+        F.when(scale < 1.0, F.lit(INTER_AREA)).otherwise(F.lit(INTER_LINEAR)),
+    ).otherwise(F.lit(None).cast("string"))
+    return out_h, out_w, interp
+
+
+def resize_dims_sql(h: str, w: str, max_dimension: int) -> tuple[str, str, str]:
+    """DuckDB twins of resize_dims (same double arithmetic, floor not
+    CAST — DuckDB CAST(double AS INT) rounds while int() truncates)."""
+    cur = f"CAST(greatest({h}, {w}) AS DOUBLE)"
+    needs = f"({max_dimension} > 0 AND {cur} > {max_dimension})"
+    scale = f"({float(max_dimension)} / {cur})"
+    out_h = (
+        f"CASE WHEN {needs} THEN CAST(floor(CAST({h} AS DOUBLE) * {scale}) AS INT)"
+        f" ELSE CAST({h} AS INT) END"
+    )
+    out_w = (
+        f"CASE WHEN {needs} THEN CAST(floor(CAST({w} AS DOUBLE) * {scale}) AS INT)"
+        f" ELSE CAST({w} AS INT) END"
+    )
+    interp = (
+        f"CASE WHEN {needs} THEN "
+        f"(CASE WHEN {scale} < 1.0 THEN '{INTER_AREA}' ELSE '{INTER_LINEAR}' END) "
+        f"ELSE NULL END"
+    )
+    return out_h, out_w, interp
+
+
+def resize_pixels(*_args, **_kwargs):
+    """The actual resampling — cv2-only, stubbed in this container."""
+    raise NotImplementedError(
+        "pixel resampling requires cv2.resize; resize_dims computes the "
+        "dims + interpolation-mode decision (the oracle-checked part)"
+    )

@@ -221,22 +221,40 @@ FROM media_rows
 
 
 def q_aux_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/S3/S4: left join to auxiliary metadata. The subtitle probe
+    returns the SORTED LIST of subtitle paths (reference
+    data/pytorch_dataset.py:179-187 sorted(globs)), emitted portably as a
+    '|'-joined string alongside the count."""
     docs = span_rows(spark, sf_dir).select("doc_id", "doc_key").distinct()
     aux = docs.where(F.col("doc_key") % 3 != 1).select(
         "doc_id",
         F.concat(F.lit("meta/"), F.col("doc_id"), F.lit(".info.json")).alias("metadata_path"),
     )
+    n_subs = (F.col("doc_key") % 3).cast("int")
+    sub_paths = F.array_sort(
+        F.transform(
+            F.slice(F.array(F.lit("en"), F.lit("es")), 1, n_subs),
+            lambda lang: F.concat(
+                F.lit("subs/"), F.col("doc_id"), F.lit("."), lang, F.lit(".vtt")
+            ),
+        )
+    )
     return docs.join(aux, "doc_id", "left").select(
         "doc_id",
         "metadata_path",
-        (F.col("doc_key") % 3).cast("int").alias("n_subs"),
+        n_subs.alias("n_subs"),
+        F.array_join(sub_paths, "|").alias("subtitle_paths"),
     )
 
 
 SQL_AUX_LEFT_JOIN = _with() + """
 SELECT DISTINCT doc_id,
        CASE WHEN doc_key % 3 <> 1 THEN 'meta/' || doc_id || '.info.json' END AS metadata_path,
-       CAST(doc_key % 3 AS INT) AS n_subs
+       CAST(doc_key % 3 AS INT) AS n_subs,
+       coalesce(array_to_string(
+         list_sort(list_transform((['en', 'es'])[1:CAST(doc_key % 3 AS INT)],
+                                  lang -> 'subs/' || doc_id || '.' || lang || '.vtt')),
+         '|'), '') AS subtitle_paths
 FROM span_rows
 """
 
@@ -555,6 +573,88 @@ FROM doc_cost
 
 
 # ---------------------------------------------------------------------------
+# T9 full pricing semantics — model dict + tiers + substring fallback
+# (reference llm/utils/costing.py:5-150; functions/costing.py rebuild)
+# ---------------------------------------------------------------------------
+
+_COST_MODELS = [
+    "gemini-2.5-pro-preview-05-06",  # known, tiered @200k
+    "gemini-1.5-pro-latest",  # known, tiered @128k
+    "gemini-2.0-flash-latest",  # known, untiered
+    "gemini-1.5-flash-8b-latest",  # known, tiered @128k
+    "gemini-2.5-pro-exp-99",  # unknown -> 2.5-pro fallback
+    "custom-pro-v1",  # unknown -> 1.5-pro fallback
+    "my-2.0-flash-custom",  # unknown -> 2.0-flash fallback
+    "mystery-model-9",  # no pricing -> 0.0
+]
+
+
+def q_cost_tiered_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc tiered cost with the full reference semantics: pricing
+    dict as a broadcast dimension join, per-model token thresholds,
+    base-model substring fallback, missing pricing or missing token
+    counts => 0.0. Token counts are scaled to straddle both the 128k and
+    200k thresholds; every doc_key%23==0 row has NULL tokens."""
+    from .functions.costing import with_cost
+
+    docs = span_rows(spark, sf_dir).where("kind = 'text'")
+    per_doc = docs.groupBy("doc_id").agg(
+        F.first("doc_key").alias("doc_key"),
+        F.floor(F.sum(F.length("text")) / 4).cast("bigint").alias("base_tokens"),
+    )
+    model = F.element_at(
+        F.array(*[F.lit(m) for m in _COST_MODELS]),
+        (F.col("doc_key") % 8 + 1).cast("int"),
+    )
+    null_toks = F.col("doc_key") % 23 == 0
+    in_tok = F.when(null_toks, F.lit(None).cast("bigint")).otherwise(
+        F.col("base_tokens") + (F.col("doc_key") % 4) * 90000
+    )
+    shaped = per_doc.select(
+        "doc_id",
+        model.alias("model"),
+        in_tok.alias("input_tokens"),
+        F.floor(in_tok / 3).cast("bigint").alias("output_tokens"),
+    )
+    costed = with_cost(shaped, spark)
+    return costed.select(
+        "doc_id", "model", "input_tokens", "output_tokens",
+        F.round("cost_usd", 9).alias("cost_usd"),
+    )
+
+
+def _cost_tiered_sql() -> str:
+    from .functions.costing import cost_sql, resolve_model_sql
+
+    models = ", ".join(f"'{m}'" for m in _COST_MODELS)
+    pricing_cte, cost_expr = cost_sql("shaped.input_tokens", "shaped.output_tokens")
+    return _with() + f""",
+per_doc AS (
+  SELECT doc_id, any_value(doc_key) AS doc_key,
+         CAST(floor(sum(length(text)) / 4) AS BIGINT) AS base_tokens
+  FROM span_rows WHERE kind = 'text' GROUP BY doc_id
+),
+shaped AS (
+  SELECT doc_id,
+         (ARRAY[{models}])[CAST(doc_key % 8 + 1 AS INT)] AS model,
+         CASE WHEN doc_key % 23 = 0 THEN NULL
+              ELSE base_tokens + (doc_key % 4) * 90000 END AS input_tokens,
+         CASE WHEN doc_key % 23 = 0 THEN NULL
+              ELSE CAST(floor((base_tokens + (doc_key % 4) * 90000) / 3) AS BIGINT) END AS output_tokens
+  FROM per_doc
+),
+{pricing_cte.strip()}
+SELECT shaped.doc_id, shaped.model, shaped.input_tokens, shaped.output_tokens,
+       round({cost_expr}, 9) AS cost_usd
+FROM shaped LEFT JOIN pricing p
+  ON p.model = ({resolve_model_sql('shaped.model')})
+"""
+
+
+SQL_COST_TIERED_MODELS = _cost_tiered_sql()
+
+
+# ---------------------------------------------------------------------------
 # A7/S8 — per-doc ordered OCR rollup (map-shaped, emitted portably as text)
 # ---------------------------------------------------------------------------
 
@@ -621,6 +721,7 @@ QUERIES: dict[str, tuple] = {
     "pass_counters": (q_pass_counters, SQL_PASS_COUNTERS),
     "doc_cost": (q_doc_cost, SQL_DOC_COST),
     "cost_stats": (q_cost_stats, SQL_COST_STATS),
+    "cost_tiered_models": (q_cost_tiered_models, SQL_COST_TIERED_MODELS),
     "ocr_rollup": (q_ocr_rollup, SQL_OCR_ROLLUP),
     "densify_frames": (q_densify, SQL_DENSIFY),
 }

@@ -90,6 +90,96 @@ FROM span_rows WHERE kind = 'media'
 """
 
 
+_MAX_DIM = 1024
+
+
+def q_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the resize decision (output dims + interpolation mode) per
+    frame, reference video/processing.py:163-185. Source dimensions are
+    derived deterministically per frame (the parquet corpus stores no
+    real pixels); the arithmetic under test is the reference's:
+    bounded max-dim, aspect-preserving int() truncation, INTER_AREA for
+    downscale / INTER_LINEAR otherwise."""
+    from .operators.multimodal import resize_dims
+
+    media = span_rows(spark, sf_dir).where("kind = 'media'")
+    dims = media.select(
+        "doc_id",
+        "media_ref",
+        (480 + (F.col("doc_key") * 7 + F.col("span_offset") * 13) % 1200)
+        .cast("int")
+        .alias("src_h"),
+        (640 + (F.col("doc_key") * 11 + F.col("span_offset") * 17) % 1600)
+        .cast("int")
+        .alias("src_w"),
+    )
+    out_h, out_w, interp = resize_dims(F.col("src_h"), F.col("src_w"), _MAX_DIM)
+    return dims.select(
+        "doc_id", "media_ref", "src_h", "src_w",
+        out_h.alias("out_h"), out_w.alias("out_w"), interp.alias("interp"),
+    )
+
+
+def _resize_sql() -> str:
+    from .operators.multimodal import resize_dims_sql
+
+    out_h, out_w, interp = resize_dims_sql("src_h", "src_w", _MAX_DIM)
+    return f"""WITH {DUCKDB_SPANS_CTE},
+dims AS (
+  SELECT doc_id, media_ref,
+         CAST(480 + (doc_key * 7 + span_offset * 13) % 1200 AS INT) AS src_h,
+         CAST(640 + (doc_key * 11 + span_offset * 17) % 1600 AS INT) AS src_w
+  FROM span_rows WHERE kind = 'media'
+)
+SELECT doc_id, media_ref, src_h, src_w,
+       {out_h} AS out_h, {out_w} AS out_w, {interp} AS interp
+FROM dims
+"""
+
+
+SQL_RESIZE_DIMS = _resize_sql()
+
+
+def q_media_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: human-readable size formatting (reference
+    video/processing.py:258-273) over deterministic per-frame byte
+    counts spanning B..GB (plus an exact-zero row class)."""
+    from .functions.costing import human_size_col
+
+    media = span_rows(spark, sf_dir).where("kind = 'media'")
+    size = F.when((F.col("doc_key") + F.col("span_offset")) % 19 == 0, F.lit(0)).otherwise(
+        (
+            (F.col("doc_key") * 104729 + F.col("span_offset") * 7919 + 1)
+            * F.pow(F.lit(32.0), ((F.col("doc_key") + F.col("span_offset")) % 5).cast("double"))
+        ).cast("bigint")
+    )
+    sized = media.select("doc_id", "media_ref", size.alias("size_bytes"))
+    return sized.select(
+        "doc_id", "media_ref", "size_bytes",
+        human_size_col(F.col("size_bytes")).alias("human_size"),
+    )
+
+
+def _media_sizes_sql() -> str:
+    from .functions.costing import human_size_sql
+
+    return f"""WITH {DUCKDB_SPANS_CTE},
+sized AS (
+  SELECT doc_id, media_ref,
+         CASE WHEN (doc_key + span_offset) % 19 = 0 THEN 0
+              ELSE CAST((doc_key * 104729 + span_offset * 7919 + 1)
+                        * pow(32.0, CAST((doc_key + span_offset) % 5 AS DOUBLE)) AS BIGINT)
+         END AS size_bytes
+  FROM span_rows WHERE kind = 'media'
+)
+SELECT doc_id, media_ref, size_bytes, {human_size_sql('size_bytes')} AS human_size
+FROM sized
+"""
+
+
+SQL_MEDIA_SIZES = _media_sizes_sql()
+
+
 def q_augment_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6: deterministic profile assignment for augmentation — the
     engine-portable hash half of the augment stage, fully SQL-oracle-able.
@@ -142,4 +232,6 @@ QUERIES: dict[str, tuple] = {
     "refine_summary": (q_refine_summary, SQL_REFINE_SUMMARY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "augment_assign": (q_augment_assign, SQL_AUGMENT_ASSIGN),
+    "resize_dims": (q_resize_dims, SQL_RESIZE_DIMS),
+    "media_sizes": (q_media_sizes, SQL_MEDIA_SIZES),
 }

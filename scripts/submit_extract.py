@@ -7,6 +7,10 @@ documents table.
 The input is the contract-shaped parquet/Iceberg table
 (doc_id, spans array<struct<kind,text,media_ref,offset>>). A killed run
 resumes: completed docs are anti-joined away via the lineage checkpoint.
+
+``--dry-run`` plans without writing (reference
+video/frame_pipeline.py:297-304): prints how many docs are pending after
+the resume anti-join and the optimized physical plan of the extraction.
 """
 
 from __future__ import annotations
@@ -20,6 +24,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--table", action="store_true", help="input is a catalog table name")
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="plan only: report pending docs + physical plan, write nothing",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -30,6 +39,17 @@ def main() -> None:
     nested = (
         spark.read.table(args.input) if args.table else spark.read.parquet(args.input)
     )
+    if args.dry_run:
+        from ocr_dataset_builder_spark.lineage import pending_docs, read_checkpoint
+        from ocr_dataset_builder_spark.pipeline import extract_spans
+
+        ck = read_checkpoint(spark, args.output)
+        pending = pending_docs(nested, ck)
+        n_pending = pending.count()
+        n_done = ck.where("status = 'done'").select("doc_id").distinct().count()
+        print(f"dry-run: {n_pending} docs pending, {n_done} already checkpointed")
+        extract_spans(pending).explain("formatted")
+        return
     n = run_extraction(spark, nested, args.output, run_id=args.run_id)
     print(f"processed {n} docs")
 
