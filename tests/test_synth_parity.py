@@ -77,3 +77,12 @@ def test_cleanup_three_way_parity(spark, duck, sf_dir):
     assert len(raw) > 100
     for r in raw:
         assert clean_ocr_text(r["text"]) == r["clean"], r["text"]
+
+
+def test_documents_doc_id_unique(spark, sf_dir):
+    """Invariant the boilerplate-phrase count shortcuts rely on (see
+    queries_html.q_boilerplate_phrases): doc_id is unique in the
+    documents table, so count(*) over per-doc-distinct phrases equals
+    countDistinct(doc_id)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert d.count() == d.select("doc_id").distinct().count()
