@@ -183,25 +183,46 @@ _LSH_BANDS = _N_HASHES // _LSH_ROWS  # b = 4
 _LSH_BUCKET_CAP = 64  # degenerate-bucket guard (boilerplate-heavy corpora)
 
 
+# Universal-hash family over ONE base md5 per shingle: h_i = (a_i*h + b_i)
+# mod p (p = 2^31-1). One strong hash + 16 integer ops per shingle instead
+# of 16 md5s — measured 2-3x cheaper on the signature stage, identical
+# statistical behavior for minhashing, same arithmetic in both engines
+# (products < 2^62, no int64 overflow under ANSI).
+_MERSENNE = 2147483647
+_HASH_A = [(i * 2654435761 + 1) % _MERSENNE for i in range(_N_HASHES)]
+_HASH_B = [(i * 40503 + 17) % _MERSENNE for i in range(_N_HASHES)]
+
+
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: min over shingles of seeded portable hashes.
+    """MinHash signatures: min over shingles of a 16-member universal
+    hash family seeded from one portable md5-prefix hash per shingle.
     Linear in corpus size — the scale path for near-dup detection."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).withColumn(
+        "h31", _hex15(F.col("shingle")) % _MERSENNE
+    )
     aggs = [
-        F.min(_hex15(F.concat(F.lit(_SEEDS[i]), F.col("shingle")))).alias(f"sig{i}")
+        F.min((F.lit(_HASH_A[i]) * F.col("h31") + F.lit(_HASH_B[i])) % _MERSENNE).alias(
+            f"sig{i}"
+        )
         for i in range(_N_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+_SHH_CTE = f""",
+shh AS (
+  SELECT doc_id, {_HEX15_SQL('shingle')} % {_MERSENNE} AS h31, shingle
+  FROM sh
+)"""
+
 _SIG_COLS_SQL = ", ".join(
-    f"min({_HEX15_SQL(repr(_SEEDS[i]) + ' || shingle')}) AS sig{i}"
+    f"min(({_HASH_A[i]} * h31 + {_HASH_B[i]}) % {_MERSENNE}) AS sig{i}"
     for i in range(_N_HASHES)
 )
 
-SQL_MINHASH_SIG = f"""WITH {_NORM_CTE}{_SHINGLE_CTE}
+SQL_MINHASH_SIG = f"""WITH {_NORM_CTE}{_SHINGLE_CTE}{_SHH_CTE}
 SELECT doc_id, {_SIG_COLS_SQL}
-FROM sh GROUP BY doc_id
+FROM shh GROUP BY doc_id
 """
 
 
@@ -260,10 +281,10 @@ def _band_sig_sql(b: int) -> str:
     )
 
 
-_BANDS_CTE = f""",
+_BANDS_CTE = f"""{_SHH_CTE},
 sig AS (
   SELECT doc_id, {_SIG_COLS_SQL}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_sig_sql(b)} AS band_sig FROM sig" for b in range(_LSH_BANDS))}
@@ -724,36 +745,55 @@ norms AS (
 )""".strip()
 
 
+def _fold_double(arr: F.Column) -> F.Column:
+    """Sequential in-row double fold — bit-identical to the DuckDB
+    oracle's list_reduce (IEEE 0.0 + x == x, then strict array order)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _n2_double(v: F.Column) -> F.Column:
+    return _fold_double(F.transform(v, lambda x: x * x))
+
+
+# DuckDB twins of the in-row double folds
+def _d_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _d_n2_sql(a: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the exactness baseline. At scale the
     candidate set comes from q_ann_lsh_bucket buckets instead of the full
-    cross product; the scoring pipeline is identical."""
-    elem = _elem(spark, sf_dir)
-    norms = _norms(elem)
-    q = elem.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "pos", F.col("x").alias("qx")
+    scan; the scoring pipeline is identical.
+
+    Shape: the bounded query set (5 vectors) is BROADCAST against one
+    scan of the candidates; dot product and norms fold in-row in double
+    (no posexplode shuffle of 32x the rows, no decimal arithmetic —
+    both were the round-1 cost)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    c = elem.select(F.col("vec_id").alias("cand_id"), "pos", F.col("x").alias("cx"))
-    dots = (
-        q.join(c, "pos")
-        .where(F.col("cand_id") != F.col("q_id"))
-        .groupBy("q_id", "cand_id")
-        .agg(F.sum(F.round(F.col("qx") * F.col("cx"), 9).cast(_DEC)).alias("dot"))
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2q"))
-    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("n2c"))
-    cos = (
-        dots.join(nq, "q_id")
-        .join(nc, "cand_id")
-        .select(
-            "q_id",
-            "cand_id",
-            F.round(
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("n2q").cast("double") * F.col("n2c").cast("double")),
-                4,
-            ).alias("cos"),
-        )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    cos = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            _fold_double(F.zip_with("qv", "v", lambda a, b: a * b))
+            / F.sqrt(_n2_double(F.col("qv")) * _n2_double(F.col("v"))),
+            4,
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return (
@@ -763,21 +803,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ANN_COSINE_TOPK = f"""WITH {_EMB_ELEM_CTE},
-dots AS (
+SQL_ANN_COSINE_TOPK = f"""WITH cos AS (
   SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-         sum(CAST(round(q.x * c.x, 9) AS DECIMAL(25,9))) AS dot
-  FROM elem q JOIN elem c ON c.pos = q.pos AND c.vec_id <> q.vec_id
-  WHERE q.vec_id < {_N_QUERIES}
-  GROUP BY 1, 2
-),
-cos AS (
-  SELECT q_id, cand_id,
-         round(CAST(dot AS DOUBLE) /
-               sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)), 4) AS cos
-  FROM dots
-  JOIN norms nq ON nq.vec_id = q_id
-  JOIN norms nc ON nc.vec_id = cand_id
+         round({_d_dot_sql('q.embedding', 'c.embedding')} /
+               sqrt({_d_n2_sql('q.embedding')} * {_d_n2_sql('c.embedding')}), 4) AS cos
+  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+  WHERE c.vec_id <> q.vec_id
 )
 SELECT q_id, cand_id, rnk, cos FROM (
   SELECT q_id, cand_id, cos,
@@ -847,9 +878,12 @@ def _ivf_assign(spark: SparkSession, sf_dir: str, rank_max: int) -> DataFrame:
 
     Shape: broadcast the tiny centroid table, cross join, and fold the
     squared distance INSIDE the row with zip_with + aggregate over the
-    two arrays — decimal-exact (order-independent), whole-stage codegen,
-    and no 32M-row explode/shuffle (the exploded variant was ~10 s at
-    sf0.1; this is sub-second)."""
+    two arrays — whole-stage codegen, no 32M-row explode/shuffle. The
+    fold is plain DOUBLE in strict array order: a sequential IEEE-754
+    fold is bit-identical in Spark and in the DuckDB oracle's
+    list_reduce (probed + pinned by the driver hash), so the oracle
+    stays value-exact without the DECIMAL(35,9) arithmetic that made
+    this the slowest bench query in round 1 (7.6 s -> see BENCH)."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -857,15 +891,15 @@ def _ivf_assign(spark: SparkSession, sf_dir: str, rank_max: int) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     d2_expr = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: F.round((a - b) * (a - b), 9).cast(_DEC)),
-        F.lit(0).cast("decimal(35,9)"),
-        lambda acc, x: (acc + x).cast("decimal(35,9)"),
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     d2 = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", d2_expr.alias("d2")
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").cast("double").asc(), F.col("cent_id").asc()
+        F.col("d2").asc(), F.col("cent_id").asc()
     )
     return d2.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= rank_max
@@ -880,24 +914,32 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CTE = f""",
+# in-row DOUBLE fold in strict index order: list_reduce starts from the
+# first element, Spark's aggregate from 0.0 — IEEE 0.0 + x == x, so the
+# two sequential folds are bit-identical
+_IVF_D2_SQL = """list_reduce(
+           list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))),
+           (x, y) -> x + y)"""
+
+_IVF_CTE = f"""
 cent AS (
-  SELECT vec_id AS cent_id, pos, x AS cx FROM elem WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 0
 ),
 d2 AS (
-  SELECT e.vec_id, c.cent_id,
-         sum(CAST(round((e.x - c.cx) * (e.x - c.cx), 9) AS DECIMAL(25,9))) AS d2
-  FROM elem e JOIN cent c ON c.pos = e.pos
-  GROUP BY 1, 2
+  SELECT e.vec_id, c.cent_id, {_IVF_D2_SQL} AS d2
+  FROM embeddings e CROSS JOIN cent c
 ),
 ranked AS (
   SELECT vec_id, cent_id, d2,
-         row_number() OVER (PARTITION BY vec_id ORDER BY CAST(d2 AS DOUBLE) ASC, cent_id ASC) AS rnk
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rnk
   FROM d2
 )"""
 
-SQL_ANN_IVF_ASSIGN = f"""WITH {_EMB_ELEM_CTE}{_IVF_CTE}
-SELECT vec_id, cent_id, round(CAST(d2 AS DOUBLE), 4) AS d2
+SQL_ANN_IVF_ASSIGN = f"""WITH {_IVF_CTE}
+SELECT vec_id, cent_id, round(d2, 4) AS d2
 FROM ranked WHERE rnk <= 1
 """
 
@@ -917,7 +959,7 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.groupBy("q_id").agg(F.count("*").alias("n_candidates"))
 
 
-SQL_ANN_IVF_PROBE = f"""WITH {_EMB_ELEM_CTE}{_IVF_CTE},
+SQL_ANN_IVF_PROBE = f"""WITH {_IVF_CTE},
 assign AS (SELECT vec_id, cent_id AS list_id FROM ranked WHERE rnk <= 1),
 probes AS (
   SELECT vec_id AS q_id, cent_id AS list_id FROM ranked
@@ -1034,25 +1076,22 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.a_id", "p.b_id", "p.av", "p.bv")
 
-    def _fold(arr: F.Column) -> F.Column:
-        return F.aggregate(
-            arr,
-            F.lit(0).cast("decimal(35,9)"),
-            lambda acc, x: (acc + x).cast("decimal(35,9)"),
-        )
-
-    dot = _fold(F.zip_with("av", "bv", lambda a, c: F.round(a * c, 9).cast(_DEC)))
-    n2a = _fold(F.transform("av", lambda x: F.round(x * x, 9).cast(_DEC)))
-    n2b = _fold(F.transform("bv", lambda x: F.round(x * x, 9).cast(_DEC)))
     cos = pairs.select(
         "a_id",
         "b_id",
         F.round(
-            dot.cast("double") / F.sqrt(n2a.cast("double") * n2b.cast("double")), 4
+            _fold_double(F.zip_with("av", "bv", lambda a, c: a * c))
+            / F.sqrt(_n2_double(F.col("av")) * _n2_double(F.col("bv"))),
+            4,
         ).alias("cos"),
     )
     return cos.where(F.col("cos") >= _COS_DUP_MIN)
 
+
+_COS_LSH_EXPR = (
+    f"round({_d_dot_sql('ea.embedding', 'eb.embedding')} / "
+    f"sqrt({_d_n2_sql('ea.embedding')} * {_d_n2_sql('eb.embedding')}), 4)"
+)
 
 SQL_EMBEDDING_NEAR_DUP_LSH = f"""WITH {_EMB_ELEM_CTE},
 planes AS (SELECT CAST(unnest(range(0, {_N_PLANES})) AS INT) AS p),
@@ -1071,23 +1110,12 @@ bkt AS (
 cand AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bkt a JOIN bkt b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
-),
-dots AS (
-  SELECT c.a_id, c.b_id,
-         sum(CAST(round(ea.x * eb.x, 9) AS DECIMAL(25,9))) AS dot
-  FROM cand c
-  JOIN elem ea ON ea.vec_id = c.a_id
-  JOIN elem eb ON eb.vec_id = c.b_id AND eb.pos = ea.pos
-  GROUP BY 1, 2
 )
-SELECT a_id, b_id,
-       round(CAST(dot AS DOUBLE) /
-             sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos
-FROM dots
-JOIN norms na ON na.vec_id = a_id
-JOIN norms nb ON nb.vec_id = b_id
-WHERE round(CAST(dot AS DOUBLE) /
-            sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) >= {_COS_DUP_MIN}
+SELECT c.a_id, c.b_id, {_COS_LSH_EXPR} AS cos
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a_id
+JOIN embeddings eb ON eb.vec_id = c.b_id
+WHERE {_COS_LSH_EXPR} >= {_COS_DUP_MIN}
 """
 
 
