@@ -544,22 +544,33 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 # ---------------------------------------------------------------------------
 
 
+# GPT-2-style pretokenizer, simplified to stay lookahead-free so the
+# SAME pattern runs under Java regex (Spark) and RE2 (DuckDB):
+# contractions | space?letters | space?digits | space?symbol-run | spaces
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, word/number tokens, and a
+    BPE-ish pretokenizer count (the standard 'how many LLM tokens is
+    this corpus' pre-estimate) — all JVM regexp kernels, one scan."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+")).alias("n_word_tokens"),
         F.regexp_count(F.col("text"), F.lit(r"[0-9]+")).alias("n_num_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
     )
 
 
-SQL_TOKEN_STATS = """
+SQL_TOKEN_STATS = f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
        len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS n_bpe_tokens,
        length(text) AS n_chars
 FROM documents
 """
@@ -997,6 +1008,7 @@ GROUP BY e.label
 
 
 _COS_DUP_MIN = 0.35
+_EMB_BUCKET_CAP = 4096  # max vectors carried into one in-bucket expansion
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,10 +1074,15 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = q_ann_lsh_bucket(spark, sf_dir)
     ev = e.join(b, "vec_id")
+    # degenerate-bucket guard (same rationale as _LSH_BUCKET_CAP): the
+    # collect_list carries full vectors, so an unbounded bucket is an OOM
+    # row at 100 TB; oversized buckets are dropped in lockstep with the
+    # oracle. At scale also raise _N_PLANES so expected bucket size stays
+    # bounded (n / 2^planes).
     buckets = (
         ev.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("vs"))
-        .where(F.size("vs") > 1)
+        .where((F.size("vs") > 1) & (F.size("vs") <= _EMB_BUCKET_CAP))
     )
     pairs = buckets.select(
         F.explode(
@@ -1107,9 +1124,14 @@ bkt AS (
          CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
   FROM sums GROUP BY vec_id
 ),
+bsize AS (
+  SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket
+),
 cand AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bkt a JOIN bkt b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+  JOIN bsize s ON s.bucket = a.bucket
+  WHERE s.n BETWEEN 2 AND {_EMB_BUCKET_CAP}
 )
 SELECT c.a_id, c.b_id, {_COS_LSH_EXPR} AS cos
 FROM cand c

@@ -144,3 +144,24 @@ def test_uncommitted_run_invisible_and_retry_idempotent(spark, sf_dir):
         assert n1 > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_slice_window_equals_naive_global_slice(spark, sf_dir):
+    """F7 two-phase global index == sorted-list slicing, across slice
+    boundaries that start/end inside and across bucket (doc) edges."""
+    from ocr_dataset_builder_spark.operators.sequencing import slice_window
+
+    flat = synth.span_rows(spark, sf_dir).select("doc_id", "span_offset", "kind")
+    rows = sorted(
+        flat.collect(), key=lambda r: (r["doc_id"], r["span_offset"])
+    )
+    n = len(rows)
+    for start, end in [(0, 10), (50, 150), (n - 5, n + 10), (0, n), (7, 8), (n, n + 1)]:
+        got = sorted(
+            map(
+                tuple,
+                slice_window(flat, start, end, ["doc_id", "span_offset"]).collect(),
+            )
+        )
+        want = sorted(map(tuple, rows[start:end]))
+        assert got == want, (start, end)
