@@ -100,11 +100,16 @@ def main() -> None:
     timed("batch_assemble", qs.q_batch_assemble(spark, SF_DIR))
     timed("strict_join_ocr", qj.q_strict_join_ocr(spark, SF_DIR))
     timed("minhash_lsh", qc.q_minhash_lsh(spark, SF_DIR))
+    timed("minhash_jaccard_verify", qc.q_minhash_jaccard_verify(spark, SF_DIR))
     timed("simhash", qc.q_simhash(spark, SF_DIR))
+    timed("simhash_near", qc.q_simhash_near(spark, SF_DIR))
     timed("ngram_jaccard", qc.q_ngram_jaccard(spark, SF_DIR))
     timed("ann_cosine_topk", qc.q_ann_cosine_topk(spark, SF_DIR))
     timed("ann_ivf_assign", qc.q_ann_ivf_assign(spark, SF_DIR))
+    timed("embedding_near_dup_lsh", qc.q_embedding_near_dup_lsh(spark, SF_DIR))
     timed("quality_score", qc.q_quality_score(spark, SF_DIR))
+    timed("token_stats", qc.q_token_stats(spark, SF_DIR))
+    timed("cost_tiered_models", qj.q_cost_tiered_models(spark, SF_DIR))
 
     from ocr_dataset_builder_spark import queries_events as qe
     from ocr_dataset_builder_spark import queries_html as qh

@@ -243,6 +243,16 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fan_out(spark: SparkSession, buckets: DataFrame) -> DataFrame:
+    """Repartition the (small) bucket relation before in-bucket pair
+    expansion. The bucket rows are few bytes, so AQE coalesces them to
+    ONE partition — and then the C(n,2) expansion (the actual work) runs
+    single-threaded (measured 8 s -> 1.3 s on simhash_near at sf0.1).
+    An explicit numPartitions is respected by AQE; the extra shuffle
+    moves only the bucket lists."""
+    return buckets.repartition(spark.sparkContext.defaultParallelism * 2)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (16 minhashes, b=4 bands x r=4 rows): candidate pairs
     sharing any full band of 4 consecutive signatures.
@@ -262,7 +272,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where((F.size("ds") > 1) & (F.size("ds") <= _LSH_BUCKET_CAP))
     )
-    pairs = buckets.select(
+    pairs = _fan_out(spark, buckets).select(
         F.explode(
             F.expr(
                 "flatten(transform(ds, (x, i) -> "
@@ -343,7 +353,13 @@ def q_minhash_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from MinHash-LSH buckets, exact n-gram Jaccard computed ONLY on the
     candidates (two key-joins against the shingle relation, each linear in
     candidates x shingles-per-doc) — never the all-pairs shingle self-join
-    that q_ngram_jaccard uses as its tiny-scale oracle form."""
+    that q_ngram_jaccard uses as its tiny-scale oracle form.
+
+    Production note: expressed unpersisted (the driver contract compares
+    pure transformations), the local plan re-derives the shingle relation
+    for each consumer; at 100 TB persist()/checkpoint the shingle and
+    candidate relations so the corpus is scanned once — the join topology
+    (key joins only, no self-join over the corpus) is unchanged."""
     cands = q_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -403,7 +419,9 @@ WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= {_JACCARD_MIN}
 # simhash + near pairs
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32  # 8-bit bands -> 256 buckets/band; 16-bit was 16/band,
+# which made banded pair expansion quadratic-in-practice (bench: 19.8 s
+# -> see BENCH). Production: 64-bit simhash, 16-bit bands.
 _HAMMING_MAX = 3
 
 
@@ -476,7 +494,7 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    pairs = buckets.select(
+    pairs = _fan_out(spark, buckets).select(
         F.explode(
             F.expr(
                 "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
@@ -1084,7 +1102,7 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("vs"))
         .where((F.size("vs") > 1) & (F.size("vs") <= _EMB_BUCKET_CAP))
     )
-    pairs = buckets.select(
+    pairs = _fan_out(spark, buckets).select(
         F.explode(
             F.expr(
                 "flatten(transform(vs, (x, i) -> transform(slice(vs, i + 2, size(vs)), "
