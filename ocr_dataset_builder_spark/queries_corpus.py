@@ -642,6 +642,80 @@ SELECT doc_id, n_tokens,
 FROM base
 """
 
+_TOP_TERMS_K = 5
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-k most frequent tokens per source (vocabulary
+    skew / boilerplate detection). One partial-aggregated shuffle on
+    (source, token) — map-side combine keeps the explode local — then a
+    per-source top-k window over the already-aggregated counts."""
+    nd = _norm_docs(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    toks = nd.join(src, "doc_id").select(
+        "source", F.explode(F.split("norm", " ")).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _TOP_TERMS_K)
+        .select("source", "rnk", "tok", "n")
+    )
+
+
+SQL_TOP_TERMS = f"""WITH {_NORM_CTE},
+toks AS (
+  SELECT d.source, unnest(string_split(n.norm, ' ')) AS tok
+  FROM norm_docs n JOIN documents d ON d.doc_id = n.doc_id
+),
+counts AS (
+  SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT source, rnk, tok, n FROM (
+  SELECT source, tok, n,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, tok ASC) AS INT) AS rnk
+  FROM counts
+) WHERE rnk <= {_TOP_TERMS_K}
+"""
+
+
+_PCTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length percentiles (type-1 / discontinuous:
+    value at rank ceil(p*n) ascending) — the corpus-quality cut points a
+    filtering pipeline thresholds on. Rank-based so both engines agree
+    exactly (interpolating quantile implementations differ); per-source
+    windows are partition-parallel, no global sort."""
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("n_chars"))
+        ).alias(name)
+        for name, p in _PCTS
+    ]
+    return ranked.groupBy("source").agg(F.max("n").alias("n_docs"), *aggs)
+
+
+SQL_LENGTH_PERCENTILES = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, max(n) AS n_docs,
+       {", ".join(f"max(CASE WHEN rn = ceil({p} * n) THEN n_chars END) AS {name}" for name, p in _PCTS)}
+FROM ranked GROUP BY source
+"""
+
+
 _LANG_PROFILES = {
     "en": ("the", "a", "and"),
     "de": ("table", "window", "batch"),
@@ -1197,6 +1271,8 @@ QUERIES: dict[str, tuple] = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near": (q_simhash_near, SQL_SIMHASH_NEAR),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

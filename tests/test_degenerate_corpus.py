@@ -1,0 +1,59 @@
+"""Degenerate-corpus behavior: a boilerplate-heavy corpus (every doc
+identical) must not blow up the LSH pair expansion — oversized buckets
+are dropped, the drop is observable in the stats query, and exact dedup
+still catches the duplicates the cap hid from the near-dup path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from ocr_dataset_builder_spark import queries_corpus as qc
+
+_N_IDENTICAL = 200  # > _LSH_BUCKET_CAP (64)
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(spark):
+    """A documents.parquet where every doc has identical text plus a few
+    genuinely unique docs."""
+    tmp = tempfile.mkdtemp(prefix="odb_degen_")
+    rows = [
+        (i, "the same boilerplate text repeated across the whole corpus again and again", "en", "web", 74)
+        for i in range(_N_IDENTICAL)
+    ] + [
+        (1000 + i, f"unique document number {i} with distinct words {i * 7} {i * 13}", "en", "web", 50)
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lsh_cap_drops_oversized_buckets(spark, degenerate_dir):
+    pairs = qc.q_minhash_lsh(spark, degenerate_dir).collect()
+    ids = {r["a_id"] for r in pairs} | {r["b_id"] for r in pairs}
+    # the 200 identical docs fall in one >cap bucket per band -> dropped;
+    # no quadratic 200*199/2 pair expansion survives
+    assert not any(i < _N_IDENTICAL for i in ids), sorted(ids)[:10]
+    assert len(pairs) < 100
+
+
+def test_lsh_stats_report_the_drop(spark, degenerate_dir):
+    stats = {r["band_id"]: r for r in qc.q_minhash_lsh_stats(spark, degenerate_dir).collect()}
+    assert set(stats) == {0, 1, 2, 3}
+    for band_id, r in stats.items():
+        assert r["n_dropped_buckets"] >= 1, band_id
+        assert r["docs_in_dropped"] >= _N_IDENTICAL, band_id
+
+
+def test_exact_dedup_catches_what_the_cap_hid(spark, degenerate_dir):
+    groups = qc.q_dedup_exact(spark, degenerate_dir).collect()
+    big = [r for r in groups if r["group_n"] == _N_IDENTICAL]
+    assert len(big) == _N_IDENTICAL  # one row per member of the dup group
+    assert all(r["canonical_id"] == 0 for r in big)
