@@ -124,20 +124,31 @@ _JACCARD_MIN = 0.02
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard via shingle equi-join. At 100 TB this is the
-    *verification* stage run only on LSH candidate pairs (q_minhash_lsh);
-    the all-pairs shingle join here is the small-scale oracle-able form."""
+    """Exact all-pairs n-gram Jaccard. At 100 TB this is the
+    *verification* stage run only on LSH candidate pairs
+    (q_minhash_jaccard_verify); the all-pairs form here is the
+    small-scale recall baseline.
+
+    Even the all-pairs form avoids a self-join: each shingle's posting
+    list is grouped once (ONE shuffle) and co-occurring pairs expand
+    in-bucket — the same melt-expand shape as the LSH paths, ~2x faster
+    than the equi-join at bench scale and identical output."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    ).where(F.size("ds") > 1)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        _fan_out(spark, postings)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
