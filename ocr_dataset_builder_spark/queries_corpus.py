@@ -8,9 +8,13 @@ fingerprinting), plus multimodal binary-column plumbing.
 
 All hashing is the engine-portable 60-bit md5-prefix integer
 (``conv(substr(md5(x),1,15),16,10)`` in Spark ==
-``('0x'||substr(md5(x),1,15))::BIGINT`` in DuckDB — verified identical),
-and all float reductions go through exact DECIMAL sums of per-element
-9-dp-rounded products so Spark and DuckDB agree bit-for-bit.
+``('0x'||substr(md5(x),1,15))::BIGINT`` in DuckDB — verified identical).
+Float reductions are engine-exact one of two ways: sequential in-row
+DOUBLE folds (Spark ``aggregate(zip_with(...), 0.0, +)`` is bit-identical
+to DuckDB ``list_reduce`` — both fold in strict array order and IEEE
+``0.0 + x == x``; the fast path, used for all dot/norm/distance math), or
+exact DECIMAL sums of per-element 9-dp-rounded products where the values
+must survive an order-unspecified group-by aggregation.
 
 Scale notes per operator are in each docstring — these are the 100 TB
 paths (shingle-join is the N^2 fallback at tiny scale; MinHash-LSH is the
