@@ -510,18 +510,39 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("ds") > 1)
     )
     pairs = _fan_out(spark, buckets).select(
+        "band_id",
         F.explode(
             F.expr(
                 "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
                 "y -> struct(x.doc_id AS a_id, y.doc_id AS b_id, "
+                "x.simhash AS ah, y.simhash AS bh, "
                 "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"
             )
-        ).alias("p")
-    ).select("p.a_id", "p.b_id", "p.hamming")
-    return (
-        pairs.where(F.col("hamming") <= _HAMMING_MAX)
-        .groupBy("a_id", "b_id")
-        .agg(F.min("hamming").alias("hamming"))
+        ).alias("p"),
+    )
+    # a pair sharing k bands appears in k buckets; dedup IN-ROW by
+    # emitting it only from its FIRST matching band (both hashes ride the
+    # pair struct, so the first match is computable without a second
+    # shuffle — this replaces a groupBy over ~4x the output volume)
+    band_of = (
+        lambda col, b: f"CAST(shiftright({col}, {b * _SIM_BAND_BITS}) "
+        f"& {(1 << _SIM_BAND_BITS) - 1} AS INT)"
+    )
+    first_match = (
+        "CASE "
+        + " ".join(
+            f"WHEN {band_of('p.ah', b)} = {band_of('p.bh', b)} THEN {b}"
+            for b in range(_SIM_BANDS)
+        )
+        + " END"
+    )
+    return pairs.where(
+        (F.col("p.hamming") <= _HAMMING_MAX)
+        & (F.col("band_id") == F.expr(first_match))
+    ).select(
+        F.col("p.a_id").alias("a_id"),
+        F.col("p.b_id").alias("b_id"),
+        F.col("p.hamming").alias("hamming"),
     )
 
 
