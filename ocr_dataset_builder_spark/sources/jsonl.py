@@ -17,10 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# field set per reference extract_text_dataset.py:104-111 (standard mode)
 STANDARD_COLS = [
     "frame_path",
     "tesseract_ocr",
     "llm_clean_ocr",
+    "augmented_llm_clean_ocr",
     "markdown",
     "summary",
 ]
