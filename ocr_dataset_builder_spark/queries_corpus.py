@@ -300,6 +300,96 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_MAX_ITERS = 25
+
+
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs — the step that turns pairwise hits into dedup groups
+    (component id = min doc_id in the group, the deterministic canonical).
+
+    Spark shape: iterative min-label propagation (each pass = one join +
+    one groupBy on the edge relation; converges in graph-diameter passes,
+    which for near-dup clusters is small). Each iteration is
+    localCheckpoint-ed so the plan/lineage stays flat. The DuckDB oracle
+    is a recursive CTE computing the same min-reachable label.
+    """
+    edges = q_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(edges)
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list (a_id, b_id).
+    Returns (doc_id, comp) for every endpoint, comp = min doc_id in the
+    component. Each pass is one join + one groupBy on the symmetric edge
+    relation; localCheckpoint keeps the lineage flat across iterations."""
+    sym = edges.unionByName(
+        edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a_id").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym["b_id"] == labels["doc_id"])
+            .groupBy("a_id")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a_id"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["comp"], F.coalesce(nbr["nbr_min"], labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", "comp")
+
+
+def _cc_sql() -> str:
+    # reuse the kept-bucket pair derivation, then min-reachable label
+    return f"""WITH RECURSIVE {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE},
+kept AS (
+  SELECT b.doc_id, b.band_id, b.band_sig
+  FROM bands b JOIN bsz s ON s.band_id = b.band_id AND s.band_sig = b.band_sig
+  WHERE s.n BETWEEN 2 AND {_LSH_BUCKET_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM edges
+  UNION ALL
+  SELECT b_id, a_id FROM edges
+),
+reach(doc, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.doc
+)
+SELECT doc AS doc_id, min(lab) AS comp FROM reach GROUP BY doc
+"""
+
+
 def _band_sig_sql(b: int) -> str:
     return " || ',' || ".join(
         f"CAST(sig{b * _LSH_ROWS + r} AS VARCHAR)" for r in range(_LSH_ROWS)
@@ -361,6 +451,9 @@ SELECT band_id,
        CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP} THEN n ELSE 0 END) AS BIGINT) AS docs_in_dropped
 FROM bsz GROUP BY band_id
 """
+
+
+SQL_NEAR_DUP_COMPONENTS = _cc_sql()
 
 
 def q_minhash_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,6 +1397,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "minhash_lsh_stats": (q_minhash_lsh_stats, SQL_MINHASH_LSH_STATS),
     "minhash_jaccard_verify": (q_minhash_jaccard_verify, SQL_MINHASH_JACCARD_VERIFY),
+    "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near": (q_simhash_near, SQL_SIMHASH_NEAR),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -57,3 +57,20 @@ def test_exact_dedup_catches_what_the_cap_hid(spark, degenerate_dir):
     big = [r for r in groups if r["group_n"] == _N_IDENTICAL]
     assert len(big) == _N_IDENTICAL  # one row per member of the dup group
     assert all(r["canonical_id"] == 0 for r in big)
+
+
+def test_connected_components_on_known_graph(spark):
+    """Chain + separate pair + a long path (exercises multi-iteration
+    propagation: min label must travel the full diameter)."""
+    from ocr_dataset_builder_spark.queries_corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "a_id bigint, b_id bigint",
+    )
+    got = {r["doc_id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
