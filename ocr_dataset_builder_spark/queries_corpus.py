@@ -1233,9 +1233,10 @@ _EMB_BUCKET_CAP = 4096  # max vectors carried into one in-bucket expansion
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. All-pairs here (500 vecs);
-    at scale the pair generation comes from q_ann_lsh_bucket buckets and
-    this is the verification stage."""
+    """Embedding-cosine near-duplicate pairs — the ALL-PAIRS recall
+    baseline (bounded inputs only). The default scale path is
+    q_embedding_near_dup_lsh: same cosine verification, candidates from
+    hyperplane-LSH buckets instead of the full cross product."""
     elem = _elem(spark, sf_dir)
     norms = _norms(elem)
     a = elem.select(F.col("vec_id").alias("a_id"), "pos", F.col("x").alias("ax"))
