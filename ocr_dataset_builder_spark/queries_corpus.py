@@ -456,6 +456,65 @@ FROM bsz GROUP BY band_id
 SQL_NEAR_DUP_COMPONENTS = _cc_sql()
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-user dedup operation: the corpus with one canonical doc
+    per duplicate group — exact groups (md5 fingerprint) collapse first,
+    then near-dup clusters (LSH connected components) collapse to their
+    min-doc_id canonical. Composition is safe: a cluster's canonical is
+    the min over members, which is therefore also its exact group's
+    canonical, so it always survives both filters (identical docs share
+    all band buckets, so an exact group enters/leaves the near graph as
+    a unit)."""
+    exact_keep = (
+        q_dedup_exact(spark, sf_dir)
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    comps = q_near_dup_components(spark, sf_dir)
+    return (
+        exact_keep.join(comps, "doc_id", "left")
+        .where(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
+def _dedup_corpus_sql() -> str:
+    return f"""WITH RECURSIVE {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE},
+kept AS (
+  SELECT b.doc_id, b.band_id, b.band_sig
+  FROM bands b JOIN bsz s ON s.band_id = b.band_id AND s.band_sig = b.band_sig
+  WHERE s.n BETWEEN 2 AND {_LSH_BUCKET_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM edges
+  UNION ALL
+  SELECT b_id, a_id FROM edges
+),
+reach(doc, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.doc
+),
+comp AS (SELECT doc AS doc_id, min(lab) AS comp FROM reach GROUP BY doc),
+exact_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(norm)) AS canonical_id
+    FROM norm_docs
+  ) WHERE doc_id = canonical_id
+)
+SELECT e.doc_id FROM exact_keep e LEFT JOIN comp c ON c.doc_id = e.doc_id
+WHERE c.comp IS NULL OR c.comp = e.doc_id
+"""
+
+
+SQL_DEDUP_CORPUS = _dedup_corpus_sql()
+
+
 def q_minhash_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed near-dup entry point for text at scale: candidate pairs
     from MinHash-LSH buckets, exact n-gram Jaccard computed ONLY on the
@@ -1399,6 +1458,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_lsh_stats": (q_minhash_lsh_stats, SQL_MINHASH_LSH_STATS),
     "minhash_jaccard_verify": (q_minhash_jaccard_verify, SQL_MINHASH_JACCARD_VERIFY),
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
+    "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near": (q_simhash_near, SQL_SIMHASH_NEAR),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
