@@ -321,10 +321,16 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(
     edges: DataFrame, max_iters: int = _CC_MAX_ITERS
 ) -> DataFrame:
-    """Min-label propagation over an undirected edge list (a_id, b_id).
-    Returns (doc_id, comp) for every endpoint, comp = min doc_id in the
-    component. Each pass is one join + one groupBy on the symmetric edge
-    relation; localCheckpoint keeps the lineage flat across iterations."""
+    """Min-label propagation + pointer jumping over an undirected edge
+    list (a_id, b_id). Returns (doc_id, comp) for every endpoint,
+    comp = min doc_id in the component.
+
+    Each iteration does (1) neighbor-min over the symmetric edge
+    relation and (2) a pointer-jump — comp(x) <- comp(comp(x)) — so
+    convergence is O(log diameter), not O(diameter) (a bare propagation
+    loop silently mislabels any component whose diameter exceeds the
+    iteration cap; here the cap is a loud RuntimeError backstop).
+    localCheckpoint keeps lineage flat across iterations."""
     sym = edges.unionByName(
         edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).persist()
@@ -340,12 +346,23 @@ def connected_components(
             .groupBy("a_id")
             .agg(F.min("comp").alias("nbr_min"))
         )
+        stepped = labels.join(nbr, labels["doc_id"] == nbr["a_id"], "left").select(
+            labels["doc_id"],
+            F.least(
+                labels["comp"], F.coalesce(nbr["nbr_min"], labels["comp"])
+            ).alias("comp"),
+        )
+        # pointer jump: follow the label one hop (label table joined on
+        # itself) — halves the remaining path length every iteration
+        parent = stepped.select(
+            F.col("doc_id").alias("comp"), F.col("comp").alias("comp2")
+        )
         new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["a_id"], "left")
+            stepped.join(parent, "comp", "left")
             .select(
-                labels["doc_id"],
+                "doc_id",
                 F.least(
-                    labels["comp"], F.coalesce(nbr["nbr_min"], labels["comp"])
+                    F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint()
@@ -358,9 +375,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
+            sym.unpersist()
+            return labels.select("doc_id", "comp")
     sym.unpersist()
-    return labels.select("doc_id", "comp")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations"
+    )
 
 
 def _cc_sql() -> str:

@@ -74,3 +74,17 @@ def test_connected_components_on_known_graph(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
     }
+
+
+def test_connected_components_long_path(spark):
+    """An 80-node path (diameter 79) must converge well inside the
+    iteration cap — pointer jumping makes convergence O(log diameter),
+    and non-convergence raises instead of silently mislabeling."""
+    from ocr_dataset_builder_spark.queries_corpus import connected_components
+
+    n = 80
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    got = {r["doc_id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
