@@ -192,7 +192,6 @@ WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= {_JACCARD_MIN}
 # ---------------------------------------------------------------------------
 
 _N_HASHES = 16
-_SEEDS = "abcdefghijklmnop"
 _LSH_ROWS = 4  # r: minhashes per band
 _LSH_BANDS = _N_HASHES // _LSH_ROWS  # b = 4
 _LSH_BUCKET_CAP = 64  # degenerate-bucket guard (boilerplate-heavy corpora)
