@@ -34,16 +34,24 @@ LINEAGE_SCHEMA = (
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a parquet table, yielding an empty typed relation when the
-    path does not exist yet. The probe is the read itself (catching the
-    PATH_NOT_FOUND AnalysisException), NOT a driver-local
-    ``os.path.exists`` — which is always false for hdfs://, s3a:// and
-    any other non-local URI, and would silently restart resume from zero
-    on exactly the distributed deployments this targets."""
+    path does not exist yet. The probe is the read itself (catching ONLY
+    the PATH_NOT_FOUND condition), NOT a driver-local ``os.path.exists``
+    — which is always false for hdfs://, s3a:// and any other non-local
+    URI, and would silently restart resume from zero on exactly the
+    distributed deployments this targets. Any other AnalysisException
+    (transient storage fault, corrupted/mismatched schema) re-raises:
+    treating it as "no checkpoint" would restart resume from zero and a
+    second commit would surface duplicate rows."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)
-    except AnalysisException:
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
         return spark.createDataFrame([], schema)
 
 

@@ -135,14 +135,30 @@ def run_extraction(
 
     Failure semantics (at-least-once with idempotent commit): the data
     write targets ONLY this run's directory with mode=overwrite, so a
-    retry of the same run_id replaces rather than duplicates; a crash
-    between data write and checkpoint commit leaves an orphan run dir
-    that :func:`read_extracted` filters out (only committed run_ids are
-    visible to readers). Metrics are computed from the staged run dir —
-    O(this run), never a scan of the whole output history.
+    retry of the same *uncommitted* run_id replaces rather than
+    duplicates; a crash between data write and checkpoint commit leaves
+    an orphan run dir that :func:`read_extracted` filters out (only
+    committed run_ids are visible to readers). Metrics are computed from
+    the staged run dir — O(this run), never a scan of the whole output
+    history.
+
+    Committed-run guard: nothing pending is a no-op (returns 0 without
+    touching storage — the everyday rerun-to-resume case), and reusing a
+    run_id that already reached the checkpoint with docs still pending
+    raises — overwriting a committed run's directory would truncate data
+    the checkpoint marks done (silent permanent loss: those docs are
+    never re-extracted because resume skips them).
     """
     ck = read_checkpoint(spark, output_dir)
     pending = pending_docs(nested, ck)
+    if not pending.limit(1).count():
+        return 0
+    if ck.where(F.col("run_id") == run_id).limit(1).count():
+        raise ValueError(
+            f"run_id {run_id!r} is already committed in {output_dir!r} but docs "
+            "are still pending; pass a fresh run_id — overwriting a committed "
+            "run's data directory would lose rows the checkpoint marks done"
+        )
     extracted = extract_spans(pending, use_arrow_ocr=use_arrow_ocr)
 
     staged = run_path(output_dir, run_id)
@@ -157,12 +173,24 @@ def run_extraction(
     return n
 
 
+EXTRACTED_SCHEMA = (
+    "doc_id string, ord int, kind string, text string, media_ref string, "
+    "span_offset int, run_id string"
+)
+
+
 def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
     """Committed-only view of the extracted output: run directories whose
     run_id never reached the checkpoint (crash between data write and
     commit) are invisible, so retries can never surface duplicate rows.
-    The committed-run set is tiny (one id per run) — broadcast semi-join."""
-    data = spark.read.parquet(os.path.join(output_dir, "extracted"))
+    The committed-run set is tiny (one id per run) — broadcast semi-join.
+    A not-yet-existing output dir (no runs, or only a dry-run) yields the
+    empty typed relation — same convention as the checkpoint readers."""
+    from .lineage import _read_or_empty
+
+    data = _read_or_empty(
+        spark, os.path.join(output_dir, "extracted"), EXTRACTED_SCHEMA
+    )
     # partition-value inference may type a numeric run_id as int —
     # normalize to string to match the checkpoint column
     data = data.withColumn("run_id", F.col("run_id").cast("string"))

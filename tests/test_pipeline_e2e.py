@@ -135,13 +135,54 @@ def test_uncommitted_run_invisible_and_retry_idempotent(spark, sf_dir):
         orphan.write.mode("overwrite").parquet(run_path(out, "r2"))
         assert read_extracted(spark, out).count() == total_committed  # invisible
 
-        # retry r1 end-to-end: same run_id overwrites its own output
-        # (pending is empty now, so the staged dir is replaced with an
-        # empty run -> committed rows all come from the r1 checkpoint)
+        # retry with the LITERAL committed run_id: everything is done, so
+        # the run is a no-op — no write, checkpoint and committed data
+        # byte-for-byte unchanged (the overwrite-guard regression test)
         docs_before = read_checkpoint(spark, out).count()
-        run_extraction(spark, nested, out, run_id="r1b")
+        assert run_extraction(spark, nested, out, run_id="r1") == 0
         assert read_checkpoint(spark, out).count() == docs_before
+        assert read_extracted(spark, out).count() == total_committed
         assert n1 > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_committed_run_id_with_pending_docs_refuses(spark, sf_dir):
+    """Reusing a committed run_id while docs are still pending must raise,
+    not overwrite: mode=overwrite on a committed run dir would truncate
+    rows the checkpoint marks done — permanent silent loss (resume never
+    re-extracts them)."""
+    nested = synth.documents_spans(spark, sf_dir).cache()
+    half = nested.where(F.col("doc_id").cast("bigint") % 2 == 0)
+    out = tempfile.mkdtemp(prefix="odb_guard_")
+    try:
+        n1 = run_extraction(spark, half, out, run_id="r1")
+        assert n1 > 0
+        committed_before = sorted(
+            map(tuple, read_extracted(spark, out).collect())
+        )
+        with pytest.raises(ValueError, match="already committed"):
+            run_extraction(spark, nested, out, run_id="r1")
+        # the refused run touched nothing
+        committed_after = sorted(
+            map(tuple, read_extracted(spark, out).collect())
+        )
+        assert committed_after == committed_before
+        # a fresh run_id picks up the pending half as usual
+        assert run_extraction(spark, nested, out, run_id="r2") > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_read_extracted_empty_before_any_run(spark):
+    """read_extracted on a never-written output dir follows the same
+    empty-relation convention as the checkpoint/lineage readers (no
+    AnalysisException on the missing path)."""
+    out = tempfile.mkdtemp(prefix="odb_empty_")
+    try:
+        df = read_extracted(spark, out)
+        assert df.count() == 0
+        assert "doc_id" in df.columns and "run_id" in df.columns
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
