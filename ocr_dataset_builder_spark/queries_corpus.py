@@ -605,9 +605,13 @@ WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= {_JACCARD_MIN}
 # simhash + near pairs
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 32  # 8-bit bands -> 256 buckets/band; 16-bit was 16/band,
-# which made banded pair expansion quadratic-in-practice (bench: 19.8 s
-# -> see BENCH). Production: 64-bit simhash, 16-bit bands.
+_SIMHASH_BITS = 60  # the full width of the portable md5-prefix token hash.
+# 60 bits / 4 bands = 15-bit bands -> 32,768 buckets per band, so at 100x
+# corpus the per-bucket population stays ~n/32768 and the in-bucket C(n,2)
+# expansion stays linear-ish; 60 (not 64) keeps the value sign-safe in both
+# engines' BIGINT with no two-half workaround. Earlier configs for the
+# record: 16-bit hash (16 buckets/band, quadratic in practice, 19.8 s),
+# 32-bit hash (256 buckets/band — flagged as the scale-killer in round 2).
 _HAMMING_MAX = 3
 
 
@@ -648,37 +652,60 @@ FROM agg
 
 _SIM_BANDS = _HAMMING_MAX + 1  # pigeonhole: > max hamming differing bits
 _SIM_BAND_BITS = _SIMHASH_BITS // _SIM_BANDS
+_SIM_BAND_MASK = (1 << _SIM_BAND_BITS) - 1
+_SIMHASH_BUCKET_CAP = 64  # degenerate-bucket guard, same rationale as
+# _LSH_BUCKET_CAP: a bucket of near-identical mass is exact-dedup's job,
+# and expanding C(n,2) inside it is the quadratic failure mode at 100x.
+# Drops are observable via q_simhash_near_stats, never silent.
 
 
-def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance — bit-band bucketed
-    (the same melt-shuffle-expand shape as q_minhash_lsh, NO cross join).
-
-    Exactness: with hamming <= 3 and 4 disjoint bands, pigeonhole
-    guarantees every near pair agrees on at least one whole band, so
-    bucketing by band value + verifying exact hamming in-bucket returns
-    the identical pair set as the all-pairs comparison (which remains the
-    DuckDB oracle and the q_simhash_near_allpairs verification helper).
-    At production scale use a 64-bit simhash with 16-bit bands (65536
-    buckets/band); the 16-bit/4-bit config here keeps the oracle's 16
-    bit-sum columns readable — the plan shape is identical.
-    """
+def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = q_simhash(spark, sf_dir)
     band_vals = F.array(
         *[
             F.shiftright("simhash", b * _SIM_BAND_BITS)
-            .bitwiseAND(F.lit((1 << _SIM_BAND_BITS) - 1))
+            .bitwiseAND(F.lit(_SIM_BAND_MASK))
             .cast("int")
             for b in range(_SIM_BANDS)
         ]
     )
-    bands = s.select(
+    return s.select(
         "doc_id", "simhash", F.posexplode(band_vals).alias("band_id", "band_val")
     )
+
+
+def q_simhash_near(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = _SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance — bit-band bucketed
+    (the same melt-shuffle-expand shape as q_minhash_lsh, NO cross join).
+
+    Exactness: with hamming <= 3 and 4 disjoint 15-bit bands, pigeonhole
+    guarantees every near pair agrees on at least one whole band, so
+    bucketing by band value + verifying exact hamming in-bucket returns
+    the identical pair set as the all-pairs comparison
+    (q_simhash_near_allpairs; pinned by tests/test_plan_quality.py) —
+    as long as no bucket exceeds _SIMHASH_BUCKET_CAP. Capped semantics
+    (the rule the DuckDB oracle mirrors exactly): a pair is emitted iff
+    its FIRST agreeing band's bucket has size in [2, cap]. The first-
+    match rule doubles as the in-row dedup (both hashes ride the pair
+    struct, so no post-explode groupBy shuffle), and making it the
+    recall contract keeps the plan one-shuffle under the cap too.
+
+    ``bucket_cap=None`` disables the cap (the exact pigeonhole form the
+    equality test compares against all-pairs); the registered driver
+    query runs with the production cap.
+    """
+    bands = _simhash_bands(spark, sf_dir)
+    size_ok = F.size("ds") > 1
+    if bucket_cap is not None:
+        size_ok = size_ok & (F.size("ds") <= bucket_cap)
     buckets = (
         bands.groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
-        .where(F.size("ds") > 1)
+        .where(size_ok)
     )
     pairs = _fan_out(spark, buckets).select(
         "band_id",
@@ -745,7 +772,38 @@ _BITSUM_COLS_SQL = ", ".join(
     for b in range(_SIMHASH_BITS)
 )
 
-SQL_SIMHASH_NEAR = f"""WITH {_NORM_CTE},
+def _sim_band_val_sql(hash_expr: str, b: int) -> str:
+    return f"(({hash_expr} >> {b * _SIM_BAND_BITS}) & {_SIM_BAND_MASK})"
+
+
+_SIM_FIRST_MATCH_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_sim_band_val_sql('ah', b)} = {_sim_band_val_sql('bh', b)} THEN {b}"
+        for b in range(_SIM_BANDS)
+    )
+    + " END"
+)
+
+_SIM_BANDS_CTE = f""",
+simh AS (
+  SELECT doc_id, CAST({_SIMHASH_EXPR_SQL} AS BIGINT) AS simhash FROM agg
+),
+sbands AS (
+  SELECT doc_id, simhash,
+         CAST(unnest(range(0, {_SIM_BANDS})) AS INT) AS band_id
+  FROM simh
+),
+sbandv AS (
+  SELECT doc_id, simhash, band_id,
+         CAST((simhash >> (band_id * {_SIM_BAND_BITS})) & {_SIM_BAND_MASK} AS INT) AS band_val
+  FROM sbands
+),
+sbsz AS (
+  SELECT band_id, band_val, count(*) AS n FROM sbandv GROUP BY 1, 2
+)"""
+
+_SIMH_PRE_SQL = f"""WITH {_NORM_CTE},
 toks AS (
   SELECT doc_id, {_HEX15_SQL("tok")} AS h
   FROM (SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM norm_docs)
@@ -753,14 +811,58 @@ toks AS (
 agg AS (
   SELECT doc_id, {_BITSUM_COLS_SQL}
   FROM toks GROUP BY doc_id
+)"""
+
+# Banded + capped + first-match form — the exact semantics of
+# q_simhash_near, including which bucket a pair is allowed to surface from.
+SQL_SIMHASH_NEAR = f"""{_SIMH_PRE_SQL}{_SIM_BANDS_CTE},
+kept AS (
+  SELECT v.doc_id, v.simhash, v.band_id, v.band_val
+  FROM sbandv v JOIN sbsz s ON s.band_id = v.band_id AND s.band_val = v.band_val
+  WHERE s.n BETWEEN 2 AND {_SIMHASH_BUCKET_CAP}
 ),
-simh AS (
-  SELECT doc_id, CAST({_SIMHASH_EXPR_SQL} AS BIGINT) AS simhash FROM agg
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.simhash AS ah, b.simhash AS bh, a.band_id
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(ah, bh)) <= {_HAMMING_MAX}
+  AND band_id = ({_SIM_FIRST_MATCH_SQL})
+"""
+
+
+def q_simhash_near_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability twin of q_minhash_lsh_stats for the simhash bucket
+    cap: per band, bucket counts, candidate buckets, capped-out buckets
+    and the docs sitting in them — the cheap side-output that says
+    whether the cap is eating recall at the current corpus."""
+    bsz = (
+        _simhash_bands(spark, sf_dir)
+        .groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+    )
+    return bsz.groupBy("band_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_candidate_buckets"),
+        F.sum(F.when(F.col("n") > _SIMHASH_BUCKET_CAP, 1).otherwise(0)).alias(
+            "n_dropped_buckets"
+        ),
+        F.sum(
+            F.when(F.col("n") > _SIMHASH_BUCKET_CAP, F.col("n")).otherwise(0)
+        ).alias("docs_in_dropped"),
+    )
+
+
+SQL_SIMHASH_NEAR_STATS = f"""{_SIMH_PRE_SQL}{_SIM_BANDS_CTE}
+SELECT band_id,
+       count(*) AS n_buckets,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_buckets,
+       CAST(sum(CASE WHEN n > {_SIMHASH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+       CAST(sum(CASE WHEN n > {_SIMHASH_BUCKET_CAP} THEN n ELSE 0 END) AS BIGINT) AS docs_in_dropped
+FROM sbsz GROUP BY band_id
 """
 
 
@@ -1480,6 +1582,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near": (q_simhash_near, SQL_SIMHASH_NEAR),
+    "simhash_near_stats": (q_simhash_near_stats, SQL_SIMHASH_NEAR_STATS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),

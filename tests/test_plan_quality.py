@@ -120,18 +120,32 @@ def test_slice_window_row_number_is_partitioned(spark, sf_dir):
 
 
 def test_simhash_near_banded_equals_allpairs(spark, sf_dir):
-    """The banding is exact for hamming <= 3 (pigeonhole over 4 bands)."""
+    """The banding is exact for hamming <= 3 (pigeonhole over 4 disjoint
+    15-bit bands): uncapped banded == all-pairs. The production cap only
+    ever removes pairs (capped ⊆ uncapped), and the drops it makes are
+    observable in the stats query (docs_in_dropped > 0 iff any bucket
+    was capped out on this corpus)."""
     from ocr_dataset_builder_spark.queries_corpus import (
         q_simhash_near,
         q_simhash_near_allpairs,
+        q_simhash_near_stats,
     )
 
-    banded = {
+    uncapped = {
         (r["a_id"], r["b_id"], r["hamming"])
-        for r in q_simhash_near(spark, sf_dir).collect()
+        for r in q_simhash_near(spark, sf_dir, bucket_cap=None).collect()
     }
     allp = {
         (r["a_id"], r["b_id"], r["hamming"])
         for r in q_simhash_near_allpairs(spark, sf_dir).collect()
     }
-    assert banded == allp
+    assert uncapped == allp
+
+    capped = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in q_simhash_near(spark, sf_dir).collect()
+    }
+    assert capped <= uncapped
+    if capped != uncapped:  # any recall loss must be visible in the stats
+        stats = q_simhash_near_stats(spark, sf_dir).collect()
+        assert any(r["n_dropped_buckets"] > 0 for r in stats), stats
