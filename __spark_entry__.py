@@ -25,6 +25,7 @@ def _registry() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
     reg.update(queries_spans.QUERIES)
     for mod in (
+        "queries_dataset",
         "queries_joins",
         "queries_corpus",
         "queries_refine",
