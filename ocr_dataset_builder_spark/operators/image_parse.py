@@ -72,6 +72,48 @@ def parse_image_response(response_text: str) -> dict | None:
     return parsed
 
 
+def parse_batches(df, response_col: str = "response"):
+    """T5 Spark stage: one multi-task response string per (doc_id,
+    batch_id) row in, long rows (doc_id, batch_id, task, frame_idx,
+    value) out — tasks 1-4 exploded per densified frame index (W5 gaps
+    as '', W2 placeholders resolved inside the parse, exactly reference
+    llm/image_processing.py:242-347), task 5 as a single frame_idx=-1
+    summary row. Runs as mapInPandas over Arrow batches: one Python
+    crossing per batch of responses, never per row."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = "doc_id string, batch_id int, task string, frame_idx int, value string"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "batch_id": [], "task": [], "frame_idx": [], "value": []
+            }
+
+            def _emit(doc, b, task, idx, val):
+                out["doc_id"].append(doc)
+                out["batch_id"].append(int(b))
+                out["task"].append(task)
+                out["frame_idx"].append(int(idx))
+                out["value"].append(val)
+
+            for doc, b, resp in zip(
+                pdf["doc_id"], pdf["batch_id"], pdf[response_col]
+            ):
+                parsed = parse_image_response(resp)
+                if parsed is None:
+                    continue
+                for key in TASK_KEYS.values():
+                    for i, v in enumerate(parsed[key]):
+                        _emit(doc, b, key, i, v)
+                _emit(doc, b, "task5_summary", -1, parsed["task5_summary"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_gen, schema)
+
+
 def build_image_response(
     tasks: dict[int, list[tuple[int, str]]], summary: str
 ) -> str:

@@ -72,6 +72,124 @@ GROUP BY doc_id, batch_id
 """
 
 
+def q_parse_image_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 full round trip at the driver-contract tier: per (doc, batch),
+    BUILD the five-block ``==== TASK n ====`` / ``-- Frame i --`` response
+    JVM-side (deterministic values with a SAME_AS_PREVIOUS class in task 1
+    and frame GAPS in task 2), then parse it back with the reference-parity
+    parser (operators/image_parse.py, reference llm/image_processing.py:
+    242-347) — redundancy fill (W2) and gap densification (W5) happen
+    INSIDE the parse. Oracle = the closed pre-build forms: W2 as an
+    IGNORE NULLS window, W5 as the max-present-index spine."""
+    frames = span_rows(spark, sf_dir).where("kind = 'media'")
+    frames = seqops.with_frame_seq(frames, order_cols=["span_offset"])
+    frames = seqops.with_batch_id(frames, _FPB).withColumn(
+        "bpos", (F.col("frame_seq") % _FPB).cast("int")
+    )
+    is_ph = (F.col("doc_key") + F.col("frame_seq")) % 5 == 0
+    t1 = F.when(is_ph, F.lit("<<< SAME_AS_PREVIOUS >>>")).otherwise(
+        F.concat(F.lit("t1 "), F.col("doc_id"), F.lit(" "), F.col("frame_seq").cast("string"))
+    )
+    gap2 = (F.col("doc_key") + F.col("frame_seq")) % 9 == 0
+    t2 = F.when(gap2, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("t2 "), F.col("doc_id"), F.lit(" "), F.col("frame_seq").cast("string"))
+    )
+    t3 = F.concat(
+        F.lit("t3 "), F.col("doc_id"), F.lit(" "), F.col("frame_seq").cast("string"),
+        F.lit("\ncont"),
+    )
+    t4 = F.concat(F.lit("md **"), F.col("frame_seq").cast("string"), F.lit("**"))
+
+    def entry(val: F.Column) -> F.Column:
+        return F.concat(F.lit("-- Frame "), F.col("bpos").cast("string"), F.lit(" --\n"), val)
+
+    per_frame = frames.select(
+        "doc_id",
+        "batch_id",
+        F.struct(
+            F.col("bpos"),
+            entry(t1).alias("e1"),
+            F.when(gap2, F.lit(None).cast("string")).otherwise(entry(t2)).alias("e2"),
+            entry(t3).alias("e3"),
+            entry(t4).alias("e4"),
+        ).alias("s"),
+    )
+
+    def block(title: str, field: str) -> list[F.Column]:
+        entries = F.filter(
+            F.transform(F.col("_sorted"), lambda s: s[field]), lambda e: e.isNotNull()
+        )
+        return [F.lit(f"==== {title} ===="), F.array_join(entries, "\n")]
+
+    assembled = per_frame.groupBy("doc_id", "batch_id").agg(
+        F.array_sort(F.collect_list("s")).alias("_sorted")
+    )
+    response = F.concat_ws(
+        "\n",
+        *block("TASK 1: RAW OCR", "e1"),
+        *block("TASK 2: AUGMENTED OCR", "e2"),
+        *block("TASK 3: CLEANED OCR", "e3"),
+        *block("TASK 4: MARKDOWN", "e4"),
+        F.lit("==== TASK 5: SUMMARY ===="),
+        F.concat(F.lit("sum "), F.col("doc_id"), F.lit(" b"), F.col("batch_id").cast("string")),
+    )
+    built = assembled.select("doc_id", "batch_id", response.alias("response"))
+
+    from .operators.image_parse import parse_batches
+
+    return parse_batches(built)
+
+
+SQL_PARSE_IMAGE_BATCHES = f"""WITH {DUCKDB_SPANS_CTE}{_MEDIA_CTE},
+fb AS (
+  SELECT doc_id, doc_key, frame_seq,
+         CAST((frame_seq - (frame_seq % {_FPB})) / {_FPB} AS INT) AS batch_id,
+         CAST(frame_seq % {_FPB} AS INT) AS bpos
+  FROM media_rows
+),
+t1 AS (
+  SELECT doc_id, batch_id, 'task1_raw_ocr' AS task, bpos AS frame_idx,
+         CASE WHEN (doc_key + frame_seq) % 5 = 0
+              THEN coalesce(last_value(CASE WHEN (doc_key + frame_seq) % 5 <> 0
+                                            THEN 't1 ' || doc_id || ' ' || CAST(frame_seq AS VARCHAR) END IGNORE NULLS)
+                   OVER (PARTITION BY doc_id, batch_id ORDER BY bpos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '')
+              ELSE 't1 ' || doc_id || ' ' || CAST(frame_seq AS VARCHAR) END AS value
+  FROM fb
+),
+t2p AS (
+  SELECT doc_id, batch_id, bpos, frame_seq,
+         (doc_key + frame_seq) % 9 = 0 AS gap,
+         max(CASE WHEN (doc_key + frame_seq) % 9 <> 0 THEN bpos END)
+           OVER (PARTITION BY doc_id, batch_id) AS maxp
+  FROM fb
+),
+t2 AS (
+  SELECT doc_id, batch_id, 'task2_augmented' AS task, bpos AS frame_idx,
+         CASE WHEN gap THEN '' ELSE 't2 ' || doc_id || ' ' || CAST(frame_seq AS VARCHAR) END AS value
+  FROM t2p WHERE maxp IS NOT NULL AND bpos <= maxp
+),
+t34 AS (
+  SELECT doc_id, batch_id, 'task3_cleaned' AS task, bpos AS frame_idx,
+         't3 ' || doc_id || ' ' || CAST(frame_seq AS VARCHAR) || chr(10) || 'cont' AS value
+  FROM fb
+  UNION ALL
+  SELECT doc_id, batch_id, 'task4_markdown' AS task, bpos AS frame_idx,
+         'md **' || CAST(frame_seq AS VARCHAR) || '**' AS value
+  FROM fb
+),
+t5 AS (
+  SELECT DISTINCT doc_id, batch_id, 'task5_summary' AS task, -1 AS frame_idx,
+         'sum ' || doc_id || ' b' || CAST(batch_id AS VARCHAR) AS value
+  FROM fb
+)
+SELECT * FROM t1
+UNION ALL SELECT * FROM t2
+UNION ALL SELECT * FROM t34
+UNION ALL SELECT * FROM t5
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column -> Arrow-batched decode stand-in
     (n_bytes + md5). Oracle: DuckDB md5/encode over the same derivation."""
@@ -228,6 +346,7 @@ def q_augment_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, tuple] = {
+    "parse_image_batches": (q_parse_image_batches, SQL_PARSE_IMAGE_BATCHES),
     "refine_frames": (q_refine_frames, SQL_REFINE_FRAMES),
     "refine_summary": (q_refine_summary, SQL_REFINE_SUMMARY),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
