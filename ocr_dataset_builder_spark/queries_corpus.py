@@ -1025,6 +1025,39 @@ FROM ranked GROUP BY source
 """
 
 
+def q_length_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of q_length_percentiles — identical output (same
+    type-1 ranks, same oracle), different plan: pre-aggregate to
+    (source, n_chars, count(*)) first, then run the cumulative-rank
+    window over the aggregated relation. The per-source sort now touches
+    one row per DISTINCT length (bounded by the length domain, ~10^4-10^5)
+    instead of one row per document — at 10^12 docs over a handful of
+    sources the exact rank-window form is a near-global sort, this is a
+    partial-agg shuffle plus a trivially small window. The percentile at
+    rank ceil(p*n) ascending is the smallest length whose cumulative
+    count reaches the rank — identical to the row_number form, ties
+    included. Plan gate: tests/test_plan_quality.py asserts the window
+    input is the (source, n_chars) aggregate and no row_number remains."""
+    d = _docs(spark, sf_dir).select("source", "n_chars")
+    counts = d.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("n_chars"))
+        ).alias(name)
+        for name, p in _PCTS
+    ]
+    return ranked.groupBy("source").agg(F.max("n").alias("n_docs"), *aggs)
+
+
 _LANG_PROFILES = {
     "en": ("the", "a", "and"),
     "de": ("table", "window", "batch"),
@@ -1585,6 +1618,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_near_stats": (q_simhash_near_stats, SQL_SIMHASH_NEAR_STATS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
+    "length_percentiles_agg": (q_length_percentiles_agg, SQL_LENGTH_PERCENTILES),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -119,6 +119,29 @@ def test_slice_window_row_number_is_partitioned(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_length_percentiles_agg_plan_and_equality(spark, sf_dir):
+    """The scale twin must (a) return exactly the exact form's rows and
+    (b) run its window over the (source, n_chars) pre-aggregate — no
+    row_number over the full relation (the near-global per-source sort
+    the exact form pays)."""
+    import re
+
+    from ocr_dataset_builder_spark.queries_corpus import (
+        q_length_percentiles,
+        q_length_percentiles_agg,
+    )
+
+    exact = sorted(map(tuple, q_length_percentiles(spark, sf_dir).collect()))
+    agg = sorted(map(tuple, q_length_percentiles_agg(spark, sf_dir).collect()))
+    assert exact == agg
+
+    plan = _executed_plan(q_length_percentiles_agg(spark, sf_dir))
+    assert "row_number" not in plan, plan
+    # the window's input is the pre-aggregate: a HashAggregate keyed on
+    # (source, n_chars) must exist below the window
+    assert re.search(r"keys=\[source#\d+, n_chars#\d+L?\]", plan), plan
+
+
 def test_simhash_near_banded_equals_allpairs(spark, sf_dir):
     """The banding is exact for hamming <= 3 (pigeonhole over 4 disjoint
     15-bit bands): uncapped banded == all-pairs. The production cap only
