@@ -43,15 +43,11 @@ NESTED_SCHEMA = (
 )
 
 
-def watch_available_now(
-    spark: SparkSession,
-    input_dir: str,
-    output_dir: str,
-    run_id: str = "stream0",
-) -> int:
-    """Process all not-yet-consumed input files, then stop. Returns the
-    number of docs processed in this invocation."""
-    processed = {"n": 0}
+def _batch_processor(output_dir: str, run_id: str, processed: dict):
+    """The shared foreachBatch body: run-scoped overwrite staging +
+    checkpoint-last commit (D2). Re-delivery of a batch_id replaces its
+    own output (idempotent); metrics read ONLY the staged dir — O(batch),
+    never a rescan of the whole output history."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -59,9 +55,6 @@ def watch_available_now(
         batch_run_id = f"{run_id}-b{batch_id}"
         staged = run_path(output_dir, batch_run_id)
         extracted = extract_spans(batch_df)
-        # run-scoped overwrite: re-delivery of this batch_id replaces its
-        # own output (idempotent), and metrics read ONLY the staged dir —
-        # O(batch), never a rescan of the whole output history
         extracted.write.mode("overwrite").parquet(staged)
         metrics = doc_metrics(
             batch_df.sparkSession.read.schema(extracted.schema).parquet(staged)
@@ -71,16 +64,55 @@ def watch_available_now(
             commit_run(batch_df.sparkSession, output_dir, batch_run_id, metrics)
         processed["n"] += n
 
-    stream = (
+    return _process
+
+
+def _watch_stream(spark: SparkSession, input_dir: str, output_dir: str, run_id: str):
+    processed = {"n": 0}
+    writer = (
         spark.readStream.schema(NESTED_SCHEMA)
         .parquet(input_dir)
-        .writeStream.foreachBatch(_process)
+        .writeStream.foreachBatch(_batch_processor(output_dir, run_id, processed))
         .option("checkpointLocation", os.path.join(output_dir, "_stream_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
     )
+    return writer, processed
+
+
+def watch_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    run_id: str = "stream0",
+) -> int:
+    """Process all not-yet-consumed input files, then stop. Returns the
+    number of docs processed in this invocation."""
+    writer, processed = _watch_stream(spark, input_dir, output_dir, run_id)
+    stream = writer.trigger(availableNow=True).start()
     stream.awaitTermination()
     return processed["n"]
+
+
+def watch_continuous(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    run_id: str = "daemon0",
+    interval: str = "300 seconds",
+):
+    """The reference daemon's infinite watch loop
+    (video/frame_pipeline.py:437-522, 300 s default interval) as ONE
+    long-running Structured Streaming query: same micro-batch body and
+    stream checkpoint as :func:`watch_available_now`, but
+    ``trigger(processingTime=interval)`` keeps it alive — each tick
+    lists the input dir, processes only never-consumed files, and
+    commits run-scoped. Returns ``(StreamingQuery, processed_counter)``;
+    the caller owns the lifecycle (``query.stop()``). The two modes share
+    the stream checkpoint, so a deployment can stop the daemon and drain
+    the backlog with an availableNow pass, or vice versa, without ever
+    double-processing a file."""
+    writer, processed = _watch_stream(spark, input_dir, output_dir, run_id)
+    query = writer.trigger(processingTime=interval).start()
+    return query, processed
 
 
 def daemon_pass(

@@ -127,6 +127,53 @@ def test_streaming_daemon_incremental(spark, sf_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def test_watch_continuous_two_deliveries(spark, sf_dir):
+    """D1 continuous mode: ONE long-running processingTime-triggered
+    stream observes two successive file deliveries and commits each
+    exactly once (reference video/frame_pipeline.py:437-522 watch loop)."""
+    import time
+
+    from ocr_dataset_builder_spark.pipeline import read_extracted
+    from ocr_dataset_builder_spark.streaming.daemon import watch_continuous
+
+    nested = synth.documents_spans(spark, sf_dir)
+    part1 = nested.where(F.col("doc_id").cast("bigint") % 2 == 0)
+    part2 = nested.where(F.col("doc_id").cast("bigint") % 2 == 1)
+    n1, n2 = part1.count(), part2.count()
+
+    in_dir = tempfile.mkdtemp(prefix="odb_daemon_in_")
+    out_dir = tempfile.mkdtemp(prefix="odb_daemon_out_")
+    query = None
+    try:
+        part1.write.mode("append").parquet(in_dir)
+        query, processed = watch_continuous(
+            spark, in_dir, out_dir, run_id="d", interval="1 second"
+        )
+
+        def _wait_for(target: int, timeout: float = 90.0) -> None:
+            deadline = time.monotonic() + timeout
+            while processed["n"] < target:
+                assert query.isActive, query.exception()
+                assert time.monotonic() < deadline, (processed, target)
+                time.sleep(0.5)
+
+        _wait_for(n1)
+        assert processed["n"] == n1
+
+        # second delivery lands while the SAME query keeps running
+        part2.write.mode("append").parquet(in_dir)
+        _wait_for(n1 + n2)
+        assert processed["n"] == n1 + n2
+
+        committed = read_extracted(spark, out_dir)
+        assert committed.select("doc_id").distinct().count() == n1 + n2
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_multimodal_decode_stub_raises():
     import pytest as _pytest
 
