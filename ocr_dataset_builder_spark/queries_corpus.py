@@ -87,8 +87,25 @@ def word_ngrams(t: F.Column, n: int) -> F.Column:
     return F.array_distinct(grams)
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+def _maybe_persist(df: DataFrame, storage_level) -> DataFrame:
+    """Persist with a StorageLevel or its name ('MEMORY_AND_DISK', ...);
+    None is a no-op (the driver contract compares pure transformations,
+    so persistence is opt-in for pipeline callers)."""
+    if storage_level is None:
+        return df
+    if isinstance(storage_level, str):
+        from pyspark import StorageLevel
+
+        storage_level = getattr(StorageLevel, storage_level)
+    return df.persist(storage_level)
+
+
+def _shingles(
+    spark: SparkSession, sf_dir: str, nd: DataFrame | None = None
+) -> DataFrame:
+    if nd is None:
+        nd = _norm_docs(spark, sf_dir)
+    nd = nd.withColumn("t", F.split("norm", " "))
     return nd.select(
         "doc_id", F.explode(word_ngrams(F.col("t"), 3)).alias("shingle")
     )
@@ -99,10 +116,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_exact(
+    spark: SparkSession, sf_dir: str, nd: DataFrame | None = None
+) -> DataFrame:
     """Exact dedup at scale: one shuffle on the fingerprint; canonical doc
     is the min doc_id per group (deterministic)."""
-    nd = _norm_docs(spark, sf_dir).withColumn("fp", F.md5("norm"))
+    if nd is None:
+        nd = _norm_docs(spark, sf_dir)
+    nd = nd.withColumn("fp", F.md5("norm"))
     w = Window.partitionBy("fp")
     return nd.select(
         "doc_id",
@@ -207,13 +228,15 @@ _HASH_A = [(i * 2654435761 + 1) % _MERSENNE for i in range(_N_HASHES)]
 _HASH_B = [(i * 40503 + 17) % _MERSENNE for i in range(_N_HASHES)]
 
 
-def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_sig(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """MinHash signatures: min over shingles of a 16-member universal
     hash family seeded from one portable md5-prefix hash per shingle.
     Linear in corpus size — the scale path for near-dup detection."""
-    sh = _shingles(spark, sf_dir).withColumn(
-        "h31", _hex15(F.col("shingle")) % _MERSENNE
-    )
+    if sh is None:
+        sh = _shingles(spark, sf_dir)
+    sh = sh.withColumn("h31", _hex15(F.col("shingle")) % _MERSENNE)
     aggs = [
         F.min((F.lit(_HASH_A[i]) * F.col("h31") + F.lit(_HASH_B[i])) % _MERSENNE).alias(
             f"sig{i}"
@@ -240,11 +263,13 @@ FROM shh GROUP BY doc_id
 """
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_bands(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """Melt signatures into (doc_id, band_id, band_sig): band signature is
     the joined r=4 consecutive minhashes — production banding, not the
     toy r=1 form."""
-    sig = q_minhash_sig(spark, sf_dir)
+    sig = q_minhash_sig(spark, sf_dir, sh=sh)
     band_cols = [
         F.concat_ws(
             ",",
@@ -267,7 +292,9 @@ def _fan_out(spark: SparkSession, buckets: DataFrame) -> DataFrame:
     return buckets.repartition(spark.sparkContext.defaultParallelism * 2)
 
 
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """LSH banding (16 minhashes, b=4 bands x r=4 rows): candidate pairs
     sharing any full band of 4 consecutive signatures.
 
@@ -280,7 +307,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     many buckets/docs the cap dropped so the drop is observable, not
     silent). The cap is applied identically in the DuckDB oracle.
     """
-    bands = _minhash_bands(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir, sh=sh)
     buckets = (
         bands.groupBy("band_id", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -302,7 +329,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 25
 
 
-def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_near_dup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    sh: DataFrame | None = None,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     candidate pairs — the step that turns pairwise hits into dedup groups
     (component id = min doc_id in the group, the deterministic canonical).
@@ -313,12 +345,16 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed so the plan/lineage stays flat. The DuckDB oracle
     is a recursive CTE computing the same min-reachable label.
     """
-    edges = q_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    return connected_components(edges)
+    edges = q_minhash_lsh(spark, sf_dir, sh=sh).select("a_id", "b_id")
+    return connected_components(
+        edges, use_reliable_checkpoint=use_reliable_checkpoint
+    )
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+    edges: DataFrame,
+    max_iters: int = _CC_MAX_ITERS,
+    use_reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Min-label propagation + pointer jumping over an undirected edge
     list (a_id, b_id). Returns (doc_id, comp) for every endpoint,
@@ -329,15 +365,33 @@ def connected_components(
     convergence is O(log diameter), not O(diameter) (a bare propagation
     loop silently mislabels any component whose diameter exceeds the
     iteration cap; here the cap is a loud RuntimeError backstop).
-    localCheckpoint keeps lineage flat across iterations."""
+
+    Checkpointing keeps lineage flat across iterations. Default is
+    localCheckpoint (executor-local blocks — cheapest, fine on a
+    single-JVM or short job); ``use_reliable_checkpoint=True`` writes
+    each iteration's labels to the session's checkpoint dir
+    (``spark.sparkContext.setCheckpointDir``) so a long CC run survives
+    executor loss instead of recomputing the whole iteration chain —
+    the right knob on a 1000-executor cluster."""
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if use_reliable_checkpoint:
+            sc = df.sparkSession.sparkContext
+            if sc._jsc.sc().getCheckpointDir().isEmpty():
+                raise ValueError(
+                    "use_reliable_checkpoint=True requires "
+                    "spark.sparkContext.setCheckpointDir(...) to be set"
+                )
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     sym = edges.unionByName(
         edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).persist()
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("a_id").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         nbr = (
@@ -356,15 +410,13 @@ def connected_components(
         parent = stepped.select(
             F.col("doc_id").alias("comp"), F.col("comp").alias("comp2")
         )
-        new_labels = (
-            stepped.join(parent, "comp", "left")
-            .select(
+        new_labels = _ckpt(
+            stepped.join(parent, "comp", "left").select(
                 "doc_id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -475,7 +527,12 @@ FROM bsz GROUP BY band_id
 SQL_NEAR_DUP_COMPONENTS = _cc_sql()
 
 
-def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    storage_level=None,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
     """The end-user dedup operation: the corpus with one canonical doc
     per duplicate group — exact groups (md5 fingerprint) collapse first,
     then near-dup clusters (LSH connected components) collapse to their
@@ -483,13 +540,24 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min over members, which is therefore also its exact group's
     canonical, so it always survives both filters (identical docs share
     all band buckets, so an exact group enters/leaves the near graph as
-    a unit)."""
+    a unit).
+
+    ``storage_level`` persists the normalized corpus, which BOTH legs
+    (exact fingerprints and the shingle->LSH chain) read — one corpus
+    scan instead of two; ``use_reliable_checkpoint`` makes the CC
+    iterations survivable on a real cluster (see connected_components)."""
+    nd = _maybe_persist(_norm_docs(spark, sf_dir), storage_level)
     exact_keep = (
-        q_dedup_exact(spark, sf_dir)
+        q_dedup_exact(spark, sf_dir, nd=nd)
         .where(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
     )
-    comps = q_near_dup_components(spark, sf_dir)
+    comps = q_near_dup_components(
+        spark,
+        sf_dir,
+        sh=_shingles(spark, sf_dir, nd=nd),
+        use_reliable_checkpoint=use_reliable_checkpoint,
+    )
     return (
         exact_keep.join(comps, "doc_id", "left")
         .where(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
@@ -534,20 +602,25 @@ WHERE c.comp IS NULL OR c.comp = e.doc_id
 SQL_DEDUP_CORPUS = _dedup_corpus_sql()
 
 
-def q_minhash_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_jaccard_verify(
+    spark: SparkSession, sf_dir: str, storage_level=None
+) -> DataFrame:
     """Composed near-dup entry point for text at scale: candidate pairs
     from MinHash-LSH buckets, exact n-gram Jaccard computed ONLY on the
     candidates (two key-joins against the shingle relation, each linear in
     candidates x shingles-per-doc) — never the all-pairs shingle self-join
     that q_ngram_jaccard uses as its tiny-scale oracle form.
 
-    Production note: expressed unpersisted (the driver contract compares
-    pure transformations), the local plan re-derives the shingle relation
-    for each consumer; at 100 TB persist()/checkpoint the shingle and
-    candidate relations so the corpus is scanned once — the join topology
-    (key joins only, no self-join over the corpus) is unchanged."""
-    cands = q_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    sh = _shingles(spark, sf_dir)
+    ``storage_level`` (a StorageLevel or its name, e.g.
+    'MEMORY_AND_DISK') persists the shingle and candidate relations so
+    the corpus is scanned ONCE — the pipeline setting at 100 TB; the
+    default None keeps the query a pure transformation (the driver
+    contract's comparison mode). Measured delta is recorded in
+    BENCH_SCALING.md."""
+    sh = _maybe_persist(_shingles(spark, sf_dir), storage_level)
+    cands = _maybe_persist(
+        q_minhash_lsh(spark, sf_dir, sh=sh).select("a_id", "b_id"), storage_level
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("b_id"), "shingle")
