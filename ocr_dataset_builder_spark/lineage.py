@@ -11,10 +11,13 @@ Replaces the reference's append-only text checkpoint logs
   docs, frames_processed, ocr_chars, dedup_ratio, status, committed_at)
   per the north rule.
 
-Storage is a directory of parquet appends (Iceberg-shaped: the layouts are
-table-identical; swapping in an Iceberg catalog changes only the
-writer/reader calls — the sandbox has no Iceberg runtime jar, SURVEY.md
-§7.4 risk 6).
+Storage goes through a pluggable table store (``sources/tables.py``):
+the default is a directory of parquet appends; passing
+``store=IcebergStore(spark, namespace)`` routes the same two operations
+through Iceberg ``writeTo(...).append()`` snapshot commits. The Iceberg
+path is real code gated on the catalog being present
+(tests/test_iceberg_adapter.py skips when the runtime jar is absent —
+this sandbox has none, SURVEY.md §7.4 risk 6).
 """
 
 from __future__ import annotations
@@ -55,16 +58,24 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
-def read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
-    return _read_or_empty(
-        spark, os.path.join(checkpoint_dir, "checkpoint"), CHECKPOINT_SCHEMA
-    )
+def _store(spark: SparkSession, checkpoint_dir: str, store=None):
+    """Resolve the table backend: an explicit store (e.g.
+    sources.tables.IcebergStore) wins, else the parquet-directory default."""
+    if store is not None:
+        return store
+    from .sources.tables import ParquetStore
+
+    return ParquetStore(spark, checkpoint_dir)
 
 
-def read_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
-    return _read_or_empty(
-        spark, os.path.join(checkpoint_dir, "lineage"), LINEAGE_SCHEMA
-    )
+def read_checkpoint(
+    spark: SparkSession, checkpoint_dir: str, store=None
+) -> DataFrame:
+    return _store(spark, checkpoint_dir, store).read("checkpoint", CHECKPOINT_SCHEMA)
+
+
+def read_lineage(spark: SparkSession, checkpoint_dir: str, store=None) -> DataFrame:
+    return _store(spark, checkpoint_dir, store).read("lineage", LINEAGE_SCHEMA)
 
 
 def pending_docs(nested: DataFrame, checkpoint: DataFrame) -> DataFrame:
@@ -84,6 +95,7 @@ def commit_run(
     run_id: str,
     doc_metrics: DataFrame,
     n_partitions: int = 16,
+    store=None,
 ) -> None:
     """Append per-doc checkpoint rows + per-partition lineage rollups.
 
@@ -91,13 +103,14 @@ def commit_run(
     dedup_ratio. Partition id is a stable hash bucket of doc_id so a
     re-run assigns identical buckets (idempotence under retries).
     """
+    backend = _store(spark, checkpoint_dir, store)
     ck = doc_metrics.select(
         "doc_id",
         F.lit(run_id).alias("run_id"),
         F.lit("done").alias("status"),
         F.current_timestamp().alias("committed_at"),
     )
-    ck.write.mode("append").parquet(os.path.join(checkpoint_dir, "checkpoint"))
+    backend.append("checkpoint", ck)
 
     lin = (
         doc_metrics.withColumn(
@@ -125,4 +138,4 @@ def commit_run(
             F.current_timestamp().alias("committed_at"),
         )
     )
-    lin.write.mode("append").parquet(os.path.join(checkpoint_dir, "lineage"))
+    backend.append("lineage", lin)
