@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "20"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
 def force(df) -> None:
@@ -71,19 +72,28 @@ def main() -> None:
     nested.count()  # materialize outside the timed region
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, float] = {}
 
     def timed(name: str, df) -> None:
         # warmup run (Python-worker spawn + pandas import + JIT + Arrow
-        # pool growth all land here), then best-of-2 steady-state — the
-        # sandbox host carries external load spikes, and the throughput a
-        # long-running 100 TB job sees is the steady-state one
+        # pool growth all land here), then MEDIAN of RUNS steady-state
+        # samples with the MAD as the dispersion signal — the sandbox
+        # host carries external load spikes of up to ~2x, so a single
+        # sample (or a best-of-2) makes round-over-round per-query deltas
+        # unreadable; the median + MAD pair is what BASELINE.md compares
+        import statistics
+
         force(df)
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(RUNS):
             t0 = time.time()
             force(df)
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        dispersion[name] = round(
+            statistics.median(abs(s - med) for s in samples), 3
+        )
 
     # flagship: end-to-end extraction (explode -> OCR -> cleanup -> reassembly)
     timed("flagship_extract", extract_spans(nested))
@@ -118,6 +128,13 @@ def main() -> None:
     timed("html_main_text", qh.q_html_main_text(spark, SF_DIR))
     timed("boilerplate_phrases", qh.q_boilerplate_phrases(spark, SF_DIR))
 
+    from ocr_dataset_builder_spark import queries_dataset as qd
+    from ocr_dataset_builder_spark import queries_refine as qr
+
+    timed("dataset_sample", qd.q_dataset_sample(spark, SF_DIR))
+    timed("parse_image_batches", qr.q_parse_image_batches(spark, SF_DIR))
+    timed("length_percentiles_agg", qc.q_length_percentiles_agg(spark, SF_DIR))
+
     print(
         json.dumps(
             {
@@ -125,6 +142,8 @@ def main() -> None:
                 "value": flagship_sec,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mad": dispersion,
+                "runs_per_query": RUNS,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "replication": REP,
