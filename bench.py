@@ -27,6 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "20"))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+# median (default): robust per-query regression tracking, MAD alongside.
+# best: the steady-state capability estimator the scaling runs use — on a
+# multi-tenant host, neighbor spikes are additive noise, and the N-vs-4N
+# efficiency metric should compare the engine, not the weather.
+STAT = os.environ.get("SPARK_GRAFT_BENCH_STAT", "median")
 
 
 def force(df) -> None:
@@ -90,7 +95,7 @@ def main() -> None:
             force(df)
             samples.append(time.time() - t0)
         med = statistics.median(samples)
-        timings[name] = round(med, 3)
+        timings[name] = round(min(samples) if STAT == "best" else med, 3)
         dispersion[name] = round(
             statistics.median(abs(s - med) for s in samples), 3
         )
@@ -144,6 +149,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_mad": dispersion,
                 "runs_per_query": RUNS,
+                "stat": STAT,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "replication": REP,

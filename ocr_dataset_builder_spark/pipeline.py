@@ -122,6 +122,23 @@ def run_path(output_dir: str, run_id: str) -> str:
     return os.path.join(output_dir, "extracted", f"run_id={run_id}")
 
 
+def next_run_id(spark: SparkSession, output_dir: str, prefix: str = "run") -> str:
+    """The first ``<prefix><i>`` not yet committed in the checkpoint —
+    the deterministic fresh id the submit CLI's ``--run-id auto`` uses.
+    A crash before commit re-derives the SAME id (it never reached the
+    checkpoint), so the retry overwrites its own orphan staging dir; a
+    committed run bumps the counter. The distinct-run_id set is one row
+    per run — a driver-side collect of a tiny relation."""
+    committed = {
+        r["run_id"]
+        for r in read_checkpoint(spark, output_dir).select("run_id").distinct().collect()
+    }
+    i = 0
+    while f"{prefix}{i}" in committed:
+        i += 1
+    return f"{prefix}{i}"
+
+
 def run_extraction(
     spark: SparkSession,
     nested: DataFrame,

@@ -33,6 +33,12 @@ def run_bench(cpus: str) -> dict:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_CPUS=cpus,
         SPARK_GRAFT_BENCH_REP=REP,
+        # steady-state capability estimator: best-of-N isolates the
+        # engine from multi-tenant neighbor spikes (the per-query
+        # regression table uses medians; the scaling ratio must not
+        # compare two different weather samples)
+        SPARK_GRAFT_BENCH_STAT=os.environ.get("SPARK_GRAFT_BENCH_STAT", "best"),
+        SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"),
         # heap scales with parallelism (same GiB/core at both levels)
         SPARK_DRIVER_MEM=f"{max(8, 3 * int(cpus))}g",
     )

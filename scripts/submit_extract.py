@@ -22,7 +22,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--run-id", default="run0")
+    ap.add_argument(
+        "--run-id",
+        default="auto",
+        help="explicit run id (refused if already committed while docs are "
+        "pending), or 'auto' (default) to derive the next unused run<i> "
+        "from the checkpoint — rerun-to-resume never risks a committed dir",
+    )
     ap.add_argument("--table", action="store_true", help="input is a catalog table name")
     ap.add_argument(
         "--dry-run",
@@ -50,8 +56,13 @@ def main() -> None:
         print(f"dry-run: {n_pending} docs pending, {n_done} already checkpointed")
         extract_spans(pending).explain("formatted")
         return
-    n = run_extraction(spark, nested, args.output, run_id=args.run_id)
-    print(f"processed {n} docs")
+    run_id = args.run_id
+    if run_id == "auto":
+        from ocr_dataset_builder_spark.pipeline import next_run_id
+
+        run_id = next_run_id(spark, args.output)
+    n = run_extraction(spark, nested, args.output, run_id=run_id)
+    print(f"processed {n} docs (run_id={run_id})")
 
 
 if __name__ == "__main__":

@@ -174,6 +174,29 @@ def test_committed_run_id_with_pending_docs_refuses(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_next_run_id_skips_committed(spark, sf_dir):
+    """--run-id auto: fresh before any run, bumps past committed ids,
+    stable across a crash that never reached the checkpoint."""
+    from ocr_dataset_builder_spark.pipeline import next_run_id
+
+    nested = synth.documents_spans(spark, sf_dir).cache()
+    half = nested.where(F.col("doc_id").cast("bigint") % 2 == 0)
+    out = tempfile.mkdtemp(prefix="odb_auto_")
+    try:
+        assert next_run_id(spark, out) == "run0"
+        run_extraction(spark, half, out, run_id="run0")
+        assert next_run_id(spark, out) == "run1"
+        # an orphan staging dir (crash before commit) does NOT consume the id
+        extract_spans(nested.limit(3)).write.mode("overwrite").parquet(
+            run_path(out, "run1")
+        )
+        assert next_run_id(spark, out) == "run1"
+        run_extraction(spark, nested, out, run_id=next_run_id(spark, out))
+        assert next_run_id(spark, out) == "run2"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_read_extracted_empty_before_any_run(spark):
     """read_extracted on a never-written output dir follows the same
     empty-relation convention as the checkpoint/lineage readers (no
