@@ -142,6 +142,31 @@ def test_length_percentiles_agg_plan_and_equality(spark, sf_dir):
     assert re.search(r"keys=\[source#\d+, n_chars#\d+L?\]", plan), plan
 
 
+def test_dataset_sample_plan_shape(spark, sf_dir):
+    """The composed query must stay cartesian-free, and the persist knob
+    must route the repeated frame-relation derivations through the cache
+    (InMemoryTableScan nodes replace repeated source derivations — the
+    cached relation still PRINTS its child FileScan inline, so textual
+    scan counting would miscount), with identical rows."""
+    from ocr_dataset_builder_spark.queries_dataset import dataset_samples
+
+    df = dataset_samples(spark, sf_dir, with_augment=True)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" not in plan, "pure form must not cache"
+
+    dfp = dataset_samples(
+        spark, sf_dir, with_augment=True, storage_level="MEMORY_AND_DISK"
+    )
+    planp = _executed_plan(dfp)
+    assert planp.count("InMemoryTableScan") >= 3, planp  # all 3 big sides
+
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, dfp.collect()))
+    assert a == b
+
+
 def test_simhash_near_banded_equals_allpairs(spark, sf_dir):
     """The banding is exact for hamming <= 3 (pigeonhole over 4 disjoint
     15-bit bands): uncapped banded == all-pairs. The production cap only
