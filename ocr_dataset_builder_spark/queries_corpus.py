@@ -1062,6 +1062,67 @@ SELECT source, rnk, tok, n FROM (
 """
 
 
+_TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k characteristic terms by tf-idf — the standard
+    keyword/topic signal a training-data pipeline attaches to documents.
+
+    Scale shape: tf is one partial-agg shuffle on (doc_id, tok); df is a
+    second aggregation over the already tiny (doc, tok) relation keyed
+    on tok; the corpus size N is a 1-row relation broadcast in; the
+    per-doc top-k window runs over the aggregated rows only. No step
+    touches raw text twice. idf = ln(N / df) (unsmoothed; every tok in
+    the relation has df >= 1), scores rounded to 6 dp with ties broken
+    on the token for a deterministic cut."""
+    nd = _norm_docs(spark, sf_dir)
+    toks = nd.select("doc_id", F.explode(F.split("norm", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = nd.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "rnk", "tok", "tf", F.col("df").alias("doc_freq"), "tfidf")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""WITH {_NORM_CTE},
+toks AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm_docs
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM norm_docs),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         round(t.tf * ln(CAST(nn.n AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf t JOIN dfreq d ON d.tok = t.tok, nn
+)
+SELECT doc_id, rnk, tok, tf, df AS doc_freq, tfidf FROM (
+  SELECT doc_id, tok, tf, df, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {_TFIDF_K}
+"""
+
+
 _PCTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
 
@@ -1693,6 +1754,7 @@ QUERIES: dict[str, tuple] = {
     "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "length_percentiles_agg": (q_length_percentiles_agg, SQL_LENGTH_PERCENTILES),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

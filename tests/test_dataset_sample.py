@@ -198,6 +198,53 @@ def test_dataset_sample_export_standard_roundtrip(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_dataset_sample_export_cleaning_pairs(spark, sf_dir):
+    """S12 mode 2 over the composed samples: one (raw -> clean) record
+    per non-null variant — tesseract and the augmented rewrite as raw,
+    llm_clean_ocr as the clean target (reference
+    docs/TEXT_DATASET_EXTRACTION_GUIDE.md cleaning-pairs mode)."""
+    import json as _json
+    import os
+
+    from ocr_dataset_builder_spark.sources.jsonl import export_cleaning_pairs
+
+    df = dataset_samples(spark, sf_dir, with_augment=True)
+    n = df.count()
+    out = tempfile.mkdtemp(prefix="odb_pairs_")
+    try:
+        export_cleaning_pairs(
+            df,
+            out,
+            raw_cols=["tesseract_ocr", "augmented_llm_clean_ocr"],
+            clean_col="llm_clean_ocr",
+        )
+        recs = []
+        for fn in os.listdir(out):
+            if fn.endswith(".json"):
+                with open(os.path.join(out, fn)) as f:
+                    recs += [_json.loads(line) for line in f if line.strip()]
+        assert len(recs) == 2 * n  # both variants present on every sample
+        assert {r["variant_id"] for r in recs} == {0, 1}
+        by_key = {}
+        for r in recs:
+            by_key.setdefault((r["doc_id"], r["frame_path"]), set()).add(
+                r["variant_id"]
+            )
+        assert all(v == {0, 1} for v in by_key.values())
+        want = loader_oracle(sf_dir)
+        sample = recs[0]
+        match = [
+            w for w in want.values() if w["frame_path"] == sample["frame_path"]
+        ][0]
+        raw_field = (
+            "tesseract_ocr" if sample["variant_id"] == 0 else "augmented_llm_clean_ocr"
+        )
+        assert sample["raw"] == match[raw_field]
+        assert sample["clean"] == match["llm_clean_ocr"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_dataset_sample_assign_only_path(spark, sf_dir):
     """with_augment=False stops at U6: the only Python stage left in the
     plan is the W1 decode (the augment rewrite is gone), and the
