@@ -80,6 +80,66 @@ def test_fref_roundtrip(vals):
     assert decode_fref_list(_encode(vals)) == vals
 
 
+# --- W1 parity against the REFERENCE reconstruction executed verbatim ---
+# pytorch_dataset.py imports torch/PIL (absent here), so the method is
+# AST-extracted and exec'd standalone — the same execute-the-reference
+# discipline test_augment.py uses for the augmentation functions.
+
+def _load_reference_reconstruct():
+    import ast
+    import logging
+    from typing import Dict, List
+
+    src = open(
+        "/root/reference/ocr_dataset_builder/data/pytorch_dataset.py"
+    ).read()
+    tree = ast.parse(src)
+    fn = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "_reconstruct_llm_output":
+            fn = node
+            break
+    assert fn is not None
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns = {"logging": logging, "List": List, "Dict": Dict}
+    exec(compile(ast.fix_missing_locations(mod), "<reference>", "exec"), ns)
+    return ns["_reconstruct_llm_output"]
+
+
+_REF_RECONSTRUCT = _load_reference_reconstruct()
+
+
+class _Shim:
+    _reconstruct_llm_output = _REF_RECONSTRUCT
+
+
+def _reference_decode(vals: list[str]) -> list[str]:
+    shim = _Shim()
+    cache: dict[int, str] = {}
+    return [
+        shim._reconstruct_llm_output(vals, i, cache) for i in range(len(vals))
+    ]
+
+
+# adversarial encoded entries: plain text, well-formed backward refs,
+# self/forward refs, digitless 'F:', refs with appended tails, ref chains
+_enc_entry = st.one_of(
+    safe_line,
+    st.integers(min_value=0, max_value=40).map(lambda i: f"F:{i}"),
+    st.tuples(st.integers(min_value=0, max_value=40), safe_line).map(
+        lambda t: f"F:{t[0]}{t[1]}"
+    ),
+    st.just("F:"),
+    st.tuples(st.just("F:"), safe_line).map(lambda t: t[0] + t[1]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_enc_entry, min_size=1, max_size=30))
+def test_fref_decode_matches_reference_verbatim(encoded):
+    assert decode_fref_list(encoded) == _reference_decode(encoded)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(
