@@ -157,3 +157,90 @@ def test_refine_parse_roundtrip(texts):
     assert parsed["task3_cleaned_text"] == cleaned
     assert len(parsed["task4_markdown_text"]) == len(texts)
     assert parsed["task5_summary"] == " ".join(cleaned)[:80].strip()
+
+
+# --- T1 parity against the REFERENCE cleanup executed verbatim ---
+# tesseract/ocr_utils.py imports rich (print-only, module level), so the
+# function is AST-extracted and exec'd standalone with only `re`.
+
+def _load_reference_fn(path: str, name: str, ns: dict):
+    import ast
+
+    tree = ast.parse(open(path).read())
+    fn = next(
+        node
+        for node in ast.walk(tree)
+        if isinstance(node, ast.FunctionDef) and node.name == name
+    )
+    mod = ast.Module(body=[fn], type_ignores=[])
+    exec(compile(ast.fix_missing_locations(mod), "<reference>", "exec"), ns)
+    return ns[name]
+
+
+_REF_CLEAN = _load_reference_fn(
+    "/root/reference/ocr_dataset_builder/tesseract/ocr_utils.py",
+    "clean_tesseract_ocr",
+    {"re": re},
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ascii_text)
+def test_cleanup_matches_reference_verbatim(s):
+    assert clean_ocr_text(s) == _REF_CLEAN(s)
+
+
+# --- T5 parity against the REFERENCE image-response parser executed
+# verbatim (llm/image_processing.py:214-347; imports genai/dotenv at
+# module level, hence the AST extraction). Adversarial responses mix
+# well-formed task/frame markers, malformed markers (indented, wrong
+# fence), redundancy placeholders (incl. frame-0 misuse), digit-less
+# frames, duplicate task headers, and free text.
+
+def _load_reference_image_parse():
+    import logging
+
+    return _load_reference_fn(
+        "/root/reference/ocr_dataset_builder/llm/image_processing.py",
+        "parse_llm_response",
+        {"re": re, "logging": logging},
+    )
+
+
+_REF_IMAGE_PARSE = _load_reference_image_parse()
+
+_resp_line = st.one_of(
+    st.sampled_from(
+        [
+            "==== TASK 1: Raw OCR ====",
+            "==== TASK 2: Augmented ====",
+            "==== TASK 3: Cleaned ====",
+            "==== TASK 4: Markdown ====",
+            "==== TASK 5: Summary ====",
+            "==== task 2: lower ====",
+            " ==== TASK 1: indented ====",
+            "== TASK 9: wrong fence ==",
+            "-- Frame 0 --",
+            "-- Frame 1 --",
+            "-- Frame 2 --",
+            "--Frame 3--",
+            "-- frame 4 --",
+            " -- Frame 5 --",
+            "-- Frame x --",
+            "<<< SAME_AS_PREVIOUS >>>",
+            "<<< SAME_AS_PREVIOUS >>> tail",
+            "",
+        ]
+    ),
+    st.text(alphabet=list("abc XY.=-<>"), max_size=24),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_resp_line, min_size=0, max_size=40).map("\n".join))
+def test_image_parse_matches_reference_verbatim(resp):
+    from ocr_dataset_builder_spark.operators.image_parse import (
+        parse_image_response,
+    )
+
+    assert parse_image_response(resp) == _REF_IMAGE_PARSE(resp)
