@@ -34,6 +34,7 @@ _PRIORITY = [
     # new or semantics-changed in round 3
     "dataset_sample", "parse_image_batches", "simhash_near_stats",
     "length_percentiles_agg", "simhash", "simhash_near",
+    "quality_repetition", "pii_scrub", "decontaminate",
     # the flagship chain stays inside any plausible budget
     "flagship_extract", "span_seq", "ocr_clean", "media_frames",
 ]
@@ -51,6 +52,7 @@ def _registry() -> dict[str, tuple]:
         "queries_refine",
         "queries_events",
         "queries_html",
+        "queries_quality",
     ):
         try:
             import importlib

@@ -1,0 +1,312 @@
+"""Driver-contract queries: corpus-hygiene operators a training-data
+pipeline runs before anything else — repetition quality signals
+(Gopher-style), PII detection/redaction, and benchmark decontamination.
+
+No reference counterpart (the reference pipeline stops at OCR cleanup);
+these extend the engine the way a 100 TB pretraining corpus needs.
+
+Scale notes
+-----------
+* ``quality_repetition`` is entirely in-row (zip_with over shifted
+  slices + one sorted-run fold) — zero shuffles, scales linearly with
+  the scan.
+* ``pii_scrub`` is three JVM regexp kernels over one scan — zero
+  shuffles. The deterministic PII enrichment stage exists only because
+  the synthetic corpus contains no PII to find (same build-then-process
+  discipline as queries_refine).
+* ``decontaminate`` broadcasts the probe-shingle set (a benchmark
+  suite's n-grams are tiny next to the corpus) so the only shuffle is
+  the per-doc hit count; the corpus relation is never self-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_corpus import (
+    _NORM_CTE,
+    _SHINGLE_CTE,
+    _docs,
+    _norm_docs,
+    _shingles,
+)
+
+# ---------------------------------------------------------------------------
+# quality_repetition — Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+
+def _grams_all(t: F.Column, n: int) -> F.Column:
+    """ALL word n-grams (with multiplicity — unlike word_ngrams, which
+    dedups for shingling). zip_with over shifted slices: each slice
+    evaluates once per row."""
+    ln = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, ln)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, k + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return grams
+
+
+def _run_fold(sorted_grams: F.Column):
+    """One pass over a sorted gram array -> (count, gram) of the most
+    frequent gram; ties break to the lexicographically smallest (strict
+    > keeps the first run encountered in sorted order)."""
+
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(run, acc.best).alias("best"),
+            F.when(run > acc.best, x).otherwise(acc.bestg).alias("bestg"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestg"),
+    )
+    return F.aggregate(sorted_grams, zero, step)
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher rules 'fraction of
+    characters in the most common 2-gram' and 'fraction of duplicated
+    5-gram occurrences'), computed in-row: sort the gram array, fold
+    runs for the mode, mark duplicate occurrences by adjacent equality.
+    Zero shuffles — the whole operator rides the document scan."""
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    d = (
+        nd.withColumn("s2", F.array_sort(_grams_all(F.col("t"), 2)))
+        .withColumn("s5", F.array_sort(_grams_all(F.col("t"), 5)))
+        .withColumn("acc", _run_fold(F.col("s2")))
+    )
+    m = F.size("s5")
+    eq_prev = F.concat(
+        F.array(F.lit(False)),
+        F.zip_with(
+            F.slice("s5", 2, m - 1), F.slice("s5", 1, m - 1), lambda a, b: a == b
+        ),
+    )
+    eq_next = F.concat(
+        F.zip_with(
+            F.slice("s5", 2, m - 1), F.slice("s5", 1, m - 1), lambda a, b: a == b
+        ),
+        F.array(F.lit(False)),
+    )
+    dup_occ = F.size(
+        F.filter(F.zip_with(eq_prev, eq_next, lambda a, b: a | b), lambda x: x)
+    )
+    return d.where(F.size("t") >= 5).select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.col("acc.bestg").alias("top2_gram"),
+        F.col("acc.best").alias("top2_count"),
+        F.round(
+            F.col("acc.best") * F.length("acc.bestg") / F.length("norm"), 6
+        ).alias("top2_char_frac"),
+        F.round(dup_occ / m, 6).alias("dup5_frac"),
+    )
+
+
+SQL_QUALITY_REPETITION = f"""WITH {_NORM_CTE},
+t AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS tk FROM norm_docs
+  WHERE len(string_split(norm, ' ')) >= 5
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i+1])) AS g
+  FROM t
+),
+c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, g, n FROM (
+    SELECT doc_id, g, n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS r
+    FROM c2) WHERE r = 1
+),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+  FROM t
+),
+c5 AS (SELECT doc_id, g, count(*) AS n FROM g5 GROUP BY 1, 2),
+d5 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dup_occ,
+         CAST(sum(n) AS BIGINT) AS m
+  FROM c5 GROUP BY 1
+)
+SELECT t.doc_id,
+       len(tk) AS n_tokens,
+       top2.g AS top2_gram,
+       top2.n AS top2_count,
+       round(top2.n * length(top2.g) / length(t.norm), 6) AS top2_char_frac,
+       round(d5.dup_occ / d5.m, 6) AS dup5_frac
+FROM t JOIN top2 ON top2.doc_id = t.doc_id JOIN d5 ON d5.doc_id = t.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# pii_scrub — detect and redact PII spans
+# ---------------------------------------------------------------------------
+
+# Lookaround-free patterns so the SAME regex runs under Java regex
+# (Spark) and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+\d{1,2} \d{3}-\d{3}-\d{4}"
+
+
+def _pii_enrich_spark(doc_id: F.Column, text: F.Column) -> F.Column:
+    ds = doc_id.cast("string")
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        ds,
+        F.lit("@example.com ip 10."),
+        (doc_id % 200).cast("string"),
+        F.lit("."),
+        (doc_id % 250).cast("string"),
+        F.lit("."),
+        (doc_id % 99).cast("string"),
+        F.lit(" call +1 555-"),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+
+
+_PII_ENRICH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 99 AS VARCHAR)"
+    " || ' call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: per-doc counts of email / IPv4 / phone matches and
+    the fully redacted text, plus a residual count pinned at 0 (the
+    redaction provably removed every match). Three regexp kernels on one
+    scan, no shuffle. The enrichment stage plants deterministic PII
+    because the synthetic corpus has none — a real corpus drops it."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _pii_enrich_spark(F.col("doc_id"), F.col("text")).alias("enriched")
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("enriched", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    d = d.withColumn("redacted", red)
+    residual = (
+        F.regexp_count("redacted", F.lit(_EMAIL_RE))
+        + F.regexp_count("redacted", F.lit(_IP_RE))
+        + F.regexp_count("redacted", F.lit(_PHONE_RE))
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("enriched", F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("enriched", F.lit(_IP_RE)).alias("n_ip"),
+        F.regexp_count("enriched", F.lit(_PHONE_RE)).alias("n_phone"),
+        F.col("redacted"),
+        residual.alias("n_residual"),
+    )
+
+
+def _sql_count(col: str, pat: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+SQL_PII_SCRUB = f"""WITH e AS (
+  SELECT doc_id, {_PII_ENRICH_SQL} AS enriched FROM documents
+),
+r AS (
+  SELECT doc_id, enriched,
+         regexp_replace(regexp_replace(regexp_replace(enriched,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IP_RE}', '<IP>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM e
+)
+SELECT doc_id,
+       {_sql_count('enriched', _EMAIL_RE)} AS n_email,
+       {_sql_count('enriched', _IP_RE)} AS n_ip,
+       {_sql_count('enriched', _PHONE_RE)} AS n_phone,
+       redacted,
+       {_sql_count('redacted', _EMAIL_RE)}
+         + {_sql_count('redacted', _IP_RE)}
+         + {_sql_count('redacted', _PHONE_RE)} AS n_residual
+FROM r
+"""
+
+# ---------------------------------------------------------------------------
+# decontaminate — benchmark n-gram overlap flagging
+# ---------------------------------------------------------------------------
+
+_PROBE_MOD = 97
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    3-gram with the probe set (docs with doc_id % 97 == 0 stand in for a
+    benchmark suite's text — a real run reads the benchmark file
+    instead). The probe shingle set is broadcast (benchmarks are tiny
+    next to a 100 TB corpus), so the only shuffle is the per-doc hit
+    count; the corpus is never self-joined."""
+    sh = _shingles(spark, sf_dir)
+    probe = (
+        sh.where(F.col("doc_id") % _PROBE_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = sh.where(F.col("doc_id") % _PROBE_MOD != 0)
+    hits = (
+        corpus_sh.join(F.broadcast(probe), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % _PROBE_MOD != 0)
+        .select("doc_id")
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= 1).alias("contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
+probe AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_PROBE_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN probe p ON s.shingle = p.shingle
+  WHERE s.doc_id % {_PROBE_MOD} <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {_PROBE_MOD} <> 0
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+}

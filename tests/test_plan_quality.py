@@ -197,3 +197,33 @@ def test_simhash_near_banded_equals_allpairs(spark, sf_dir):
     if capped != uncapped:  # any recall loss must be visible in the stats
         stats = q_simhash_near_stats(spark, sf_dir).collect()
         assert any(r["n_dropped_buckets"] > 0 for r in stats), stats
+
+
+def test_quality_repetition_plan_is_scan_local(spark, sf_dir):
+    """Repetition signals are in-row folds — no Exchange, no Python."""
+    from ocr_dataset_builder_spark.queries_quality import q_quality_repetition
+
+    plan = _executed_plan(q_quality_repetition(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pii_scrub_plan_is_scan_local(spark, sf_dir):
+    """PII scrub is three regexp kernels on one scan — no Exchange."""
+    from ocr_dataset_builder_spark.queries_quality import q_pii_scrub
+
+    plan = _executed_plan(q_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_dir):
+    """The probe shingle set must broadcast; the corpus is never
+    self-joined as a cartesian."""
+    from ocr_dataset_builder_spark.queries_quality import q_decontaminate
+
+    plan = _executed_plan(q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
