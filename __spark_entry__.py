@@ -35,6 +35,7 @@ _PRIORITY = [
     "dataset_sample", "parse_image_batches", "simhash_near_stats",
     "length_percentiles_agg", "simhash", "simhash_near",
     "quality_repetition", "pii_scrub", "decontaminate",
+    "mixture_stats", "stratified_sample", "doc_chunking", "pack_blocks",
     # the flagship chain stays inside any plausible budget
     "flagship_extract", "span_seq", "ocr_clean", "media_frames",
 ]

@@ -140,6 +140,13 @@ def main() -> None:
     timed("parse_image_batches", qr.q_parse_image_batches(spark, SF_DIR))
     timed("length_percentiles_agg", qc.q_length_percentiles_agg(spark, SF_DIR))
 
+    from ocr_dataset_builder_spark import queries_quality as qq
+
+    timed("quality_repetition", qq.q_quality_repetition(spark, SF_DIR))
+    timed("decontaminate", qq.q_decontaminate(spark, SF_DIR))
+    timed("doc_chunking", qq.q_doc_chunking(spark, SF_DIR))
+    timed("pack_blocks", qq.q_pack_blocks(spark, SF_DIR))
+
     print(
         json.dumps(
             {

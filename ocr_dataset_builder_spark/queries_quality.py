@@ -24,10 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from .queries_corpus import (
+    _HEX15_SQL,
     _NORM_CTE,
     _SHINGLE_CTE,
     _docs,
+    _hex15,
     _norm_docs,
     _shingles,
 )
@@ -305,8 +309,197 @@ WHERE d.doc_id % {_PROBE_MOD} <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# mixture_stats + stratified_sample — corpus mixing for pretraining
+# ---------------------------------------------------------------------------
+
+# Per-source sampling rate in basis points, derived deterministically
+# from the source name (stands in for the mixing-weights config a real
+# run would load): 2000-8999 bp.
+_RATE_BP_SPARK = lambda src: (_hex15(src) % 7000 + 2000).cast("int")  # noqa: E731
+_RATE_BP_SQL = lambda e: f"CAST({_HEX15_SQL(e)} % 7000 + 2000 AS INT)"  # noqa: E731
+
+
+def q_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing table: per-source doc/char shares plus the sampling
+    rate and its expected yield. One partial-aggregated shuffle on
+    source; the totals relation is a 1-row broadcast (never a window
+    over the data)."""
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    totals = per_src.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_chars").alias("_tc")
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
+        F.round(F.col("n_chars") / F.col("_tc"), 6).alias("char_share"),
+        _RATE_BP_SPARK(F.col("source")).alias("rate_bp"),
+        F.round(F.col("n_docs") * _RATE_BP_SPARK(F.col("source")) / 10000.0, 6).alias(
+            "expected_docs"
+        ),
+    )
+
+
+SQL_MIXTURE_STATS = f"""WITH per_src AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_chars) AS BIGINT) AS tc
+  FROM per_src
+)
+SELECT source, n_docs, n_chars,
+       round(n_docs / td, 6) AS doc_share,
+       round(n_chars / tc, 6) AS char_share,
+       {_RATE_BP_SQL('source')} AS rate_bp,
+       round(n_docs * {_RATE_BP_SQL('source')} / 10000.0, 6) AS expected_docs
+FROM per_src, tot
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: a doc survives iff
+    md5(doc_id) mod 10000 falls under its source's rate. No rand() —
+    reruns and both engines agree exactly; at 100 TB this is a pure
+    scan-side filter (the rate is a row-local expression, no join)."""
+    d = _docs(spark, sf_dir)
+    bucket = _hex15(F.col("doc_id").cast("string")) % 10000
+    return (
+        d.withColumn("bucket", bucket.cast("int"))
+        .where(F.col("bucket") < _RATE_BP_SPARK(F.col("source")))
+        .select("doc_id", "source", "bucket")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source,
+       CAST({_HEX15_SQL('CAST(doc_id AS VARCHAR)')} % 10000 AS INT) AS bucket
+FROM documents
+WHERE {_HEX15_SQL('CAST(doc_id AS VARCHAR)')} % 10000 < {_RATE_BP_SQL('source')}
+"""
+
+# ---------------------------------------------------------------------------
+# doc_chunking — sliding token windows per document
+# ---------------------------------------------------------------------------
+
+_CHUNK_K = 32  # window length in tokens
+_CHUNK_S = 24  # stride (8-token overlap)
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk each doc into sliding K-token windows with stride S (the
+    embedding / context-window prep step). Entirely in-row: window
+    starts via sequence(), slices via slice(), then one posexplode —
+    no shuffle, no Python."""
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(1)), F.lit(_CHUNK_S))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice("t", s, _CHUNK_K), " ")
+    )
+    return nd.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).withColumn("n_chunk_tokens", F.size(F.split("chunk_text", " ")))
+
+
+SQL_DOC_CHUNKING = f"""WITH {_NORM_CTE},
+t AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM norm_docs),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 1, 1) + 1, {_CHUNK_S}),
+           s -> {{'idx': CAST((s - 1) / {_CHUNK_S} AS INT),
+                  'txt': array_to_string(tk[s : s + {_CHUNK_K} - 1], ' ')}}
+         )) AS u
+  FROM t
+)
+SELECT doc_id, u.idx AS chunk_idx, u.txt AS chunk_text,
+       len(string_split(u.txt, ' ')) AS n_chunk_tokens
+FROM c
+"""
+
+# ---------------------------------------------------------------------------
+# pack_blocks — GPT-style concat-and-chunk token-offset packing
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512  # tokens per training block
+_PACK_BUCKET = 64  # docs per prefix-sum bucket
+
+
+def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing the way GPT-style pretraining does it: documents
+    are concatenated in deterministic doc_id order and cut into fixed
+    CAP-token blocks; each doc reports its global token offset and the
+    block span it lands in.
+
+    The global offset is a two-phase prefix sum (same shape as F7
+    slice_window): per-bucket token totals -> cumulative offsets over
+    the tiny (bucket, total) relation -> broadcast back over a
+    partitioned local window. No single-partition window ever touches
+    the full relation, so the plan survives 10^12 docs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("n_tok"),
+        F.floor(F.col("doc_id") / _PACK_BUCKET).alias("_b"),
+    )
+    counts = d.groupBy("_b").agg(F.sum("n_tok").alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_b").orderBy("doc_id")
+    start = (
+        F.col("_off")
+        + F.coalesce(
+            F.sum("n_tok").over(
+                w_local.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    ).alias("start_off")
+    out = d.join(F.broadcast(offsets), "_b").select(
+        "doc_id", "n_tok", start
+    )
+    first = F.floor(F.col("start_off") / _PACK_CAP)
+    last = F.floor((F.col("start_off") + F.col("n_tok") - 1) / _PACK_CAP)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        first.alias("first_block"),
+        (last - first + 1).alias("n_blocks"),
+    )
+
+
+SQL_PACK_BLOCKS = f"""WITH d AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM d
+)
+SELECT doc_id, n_tok, start_off,
+       CAST(floor(start_off / {_PACK_CAP}) AS BIGINT) AS first_block,
+       CAST(floor((start_off + n_tok - 1) / {_PACK_CAP})
+            - floor(start_off / {_PACK_CAP}) + 1 AS BIGINT) AS n_blocks
+FROM o
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "mixture_stats": (q_mixture_stats, SQL_MIXTURE_STATS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
+    "pack_blocks": (q_pack_blocks, SQL_PACK_BLOCKS),
 }

@@ -227,3 +227,35 @@ def test_decontaminate_probe_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_stratified_sample_and_chunking_are_scan_local(spark, sf_dir):
+    """Hash sampling is a pure filter; chunking is in-row + posexplode —
+    neither may shuffle or cross into Python."""
+    from ocr_dataset_builder_spark.queries_quality import (
+        q_doc_chunking,
+        q_stratified_sample,
+    )
+
+    for q in (q_stratified_sample, q_doc_chunking):
+        plan = _executed_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+
+def test_pack_blocks_prefix_sum_is_two_phase(spark, sf_dir):
+    """The full-relation windows must be partitioned by the prefix-sum
+    bucket; only the tiny (bucket, total) relation may pass through an
+    unpartitioned window, and the offsets come back via broadcast."""
+    import re
+
+    from ocr_dataset_builder_spark.queries_quality import q_pack_blocks
+
+    plan = _executed_plan(q_pack_blocks(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    tok_windows = [
+        ln for ln in plan.splitlines() if "sum(n_tok" in ln and "windowspecdefinition" in ln
+    ]
+    assert tok_windows, plan
+    for ln in tok_windows:
+        assert re.search(r"windowspecdefinition\(_b#\d+L?, doc_id", ln), ln
