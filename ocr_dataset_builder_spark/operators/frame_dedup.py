@@ -99,6 +99,54 @@ def decode_fref_list(vals: list[str | None]) -> list[str]:
     return out
 
 
+def decode_fref_in_row(
+    df: DataFrame,
+    text_col: str = "encoded",
+    seq_col: str = "frame_seq",
+    part_cols: list[str] | None = None,
+    out_col: str = "decoded",
+) -> DataFrame:
+    """W1 reconstruction with NO Python stage and NO join-back: collect
+    each group's rows into one array (groups are bounded by frames per
+    video, so a group always fits a row), run the sequential forward pass
+    as an in-row ``aggregate`` fold in the JVM, and ``inline`` the rows
+    back out. Same semantics as :func:`decode_fref_list` (pinned by the
+    shared fixtures in tests/test_frame_dedup.py).
+
+    Compared to :func:`decode_fref` (mapInPandas) inside a larger
+    composition, this keeps every passenger column in the JVM and — when
+    the input is already hash-partitioned on the group key (e.g. after a
+    per-group window) — adds zero Exchanges, where the mapInPandas form
+    forces a join back to the passenger columns that re-derives the whole
+    upstream plan."""
+    part_cols = part_cols or ["doc_id"]
+    others = [c for c in df.columns if c not in part_cols and c != seq_col]
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        digits = F.regexp_extract(x, r"^F:([0-9]+)", 1)
+        ref = digits.cast("int")
+        resolved = F.concat(
+            F.element_at(acc, ref + 1), F.regexp_replace(x, r"^F:[0-9]+", "")
+        )
+        keep_raw = (digits == "") | (ref >= F.size(acc))
+        return F.concat(
+            acc, F.array(F.when(keep_raw, x).otherwise(resolved))
+        )
+
+    g = df.groupBy(*part_cols).agg(
+        F.array_sort(F.collect_list(F.struct(seq_col, *others))).alias("_rows")
+    )
+    encs = F.transform("_rows", lambda r: F.coalesce(r[text_col], F.lit("")))
+    dec = F.aggregate(
+        encs, F.array().cast("array<string>"), step
+    )
+    return (
+        g.withColumn("_z", F.arrays_zip("_rows", dec.alias("_dec")))
+        .select(*part_cols, F.inline("_z"))
+        .select(*part_cols, F.col("_rows.*"), F.col("_dec").alias(out_col))
+    )
+
+
 def decode_fref(
     df: DataFrame,
     text_col: str = "encoded",

@@ -42,7 +42,7 @@ from .operators import sequencing as seqops
 from .operators.augment import augment_stage, duckdb_assign_sql
 from .operators.frame_dedup import (
     SAME_AS_PREVIOUS,
-    decode_fref,
+    decode_fref_in_row,
     encode_redundancy,
     fill_same_as_previous,
 )
@@ -183,13 +183,13 @@ def dataset_samples(
         "enc2",
         F.when(F.col("doc_key") % 5 == 0, F.lit("")).otherwise(F.col("enc")),
     )
-    dec = decode_fref(
-        kept.select("doc_id", "sample_idx", "enc2"),
-        text_col="enc2",
-        seq_col="sample_idx",
-        out_col="task1_dec",
+    # in-row JVM decode: kept is already hash-partitioned on doc_id by the
+    # sample_idx window, so the group-collect adds no Exchange, and no
+    # join-back re-derives the upstream (the mapInPandas+join form cost
+    # two extra scans of every side relation here)
+    kept = decode_fref_in_row(
+        kept, text_col="enc2", seq_col="sample_idx", out_col="task1_dec"
     )
-    kept = kept.join(dec, ["doc_id", "sample_idx"])
 
     # W2: SAME_AS_PREVIOUS forward fill on the markdown list
     kept = fill_same_as_previous(

@@ -246,20 +246,20 @@ def test_dataset_sample_export_cleaning_pairs(spark, sf_dir):
 
 
 def test_dataset_sample_assign_only_path(spark, sf_dir):
-    """with_augment=False stops at U6: the only Python stage left in the
-    plan is the W1 decode (the augment rewrite is gone), and the
-    deterministic columns are unchanged."""
+    """with_augment=False stops at U6: with the W1 decode now an in-row
+    JVM fold, the assign-only plan has NO Python stage at all, and the
+    full plan keeps exactly one (the augment rewrite)."""
     df = dataset_samples(spark, sf_dir, with_augment=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_python = plan.count("MapInPandas")
-    assert n_python == 1, plan  # decode_fref only
+    assert n_python == 0, plan
     full_plan = (
         dataset_samples(spark, sf_dir, with_augment=True)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert full_plan.count("MapInPandas") == 2, full_plan  # decode + augment
+    assert full_plan.count("MapInPandas") == 1, full_plan  # augment only
     rows = {(r["video_id"], r["sample_idx"]): r for r in df.collect()}
     want = loader_oracle(sf_dir)
     assert set(rows) == set(want)

@@ -105,3 +105,34 @@ def test_densify(spark):
         ("a", 0): "x", ("a", 1): "", ("a", 2): "", ("a", 3): "y",
         ("b", 0): "", ("b", 1): "z",
     }
+
+
+def test_decode_in_row_matches_list_decode(spark):
+    """decode_fref_in_row (JVM aggregate fold) == decode_fref_list on the
+    shared adversarial fixtures, with passenger columns preserved."""
+    from ocr_dataset_builder_spark.operators.frame_dedup import decode_fref_in_row
+
+    cases = [
+        ["a", "F:0", "F:1\ntail", "F:", "F:5", "F:2", "plain", "F:xyz", "F:06x"],
+        ["only"],
+        ["", "F:0", "F:0stuff", "F:1"],
+        ["base", "F:xyz", "F:5", "F:3extra", "F:0tail"],
+    ]
+    rows = [
+        (str(d), i, v, f"p{d}-{i}")
+        for d, vals in enumerate(cases)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, frame_seq int, encoded string, passenger string"
+    )
+    out = decode_fref_in_row(df, text_col="encoded", seq_col="frame_seq")
+    got = {
+        (r["doc_id"], r["frame_seq"]): (r["decoded"], r["passenger"])
+        for r in out.collect()
+    }
+    assert len(got) == len(rows)
+    for d, vals in enumerate(cases):
+        want = decode_fref_list(vals)
+        for i, w in enumerate(want):
+            assert got[(str(d), i)] == (w, f"p{d}-{i}"), (d, i)
