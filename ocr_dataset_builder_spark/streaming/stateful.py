@@ -84,3 +84,25 @@ def streaming_dedup(frames_stream):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_exact_dedup(docs_stream, lateness: str = "10 minutes"):
+    """Corpus-scale streaming EXACT dedup: drop re-deliveries of the same
+    content fingerprint within the watermark horizon.
+
+    This is the streaming twin of the batch ``dedup_exact`` operator —
+    built on ``dropDuplicatesWithinWatermark`` so the state store holds
+    one row per fingerprint only until the watermark passes it (bounded
+    state), instead of forever like a plain ``dropDuplicates`` would on
+    a stream. Input columns: (doc_id, text, ts). The fingerprint is
+    md5(text), computed JVM-side; within the horizon the FIRST arrival
+    wins and later identical-content docs are dropped.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs_stream.withColumn("fp", F.md5("text"))
+        .withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "fp", "ts")
+    )

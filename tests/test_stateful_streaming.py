@@ -59,3 +59,54 @@ def test_stateful_dedup_across_batches(spark):
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark-based exact dedup: a re-delivered
+    identical text within the horizon is dropped (first arrival wins);
+    distinct content always passes."""
+    from ocr_dataset_builder_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    in_dir = tempfile.mkdtemp(prefix="odb_dd_in_")
+    out_dir = tempfile.mkdtemp(prefix="odb_dd_out_")
+    sch = "doc_id string, text string, ts timestamp"
+    try:
+        import datetime
+
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return t0 + datetime.timedelta(minutes=m)
+
+        spark.createDataFrame(
+            [
+                ("a", "hello world", ts(0)),
+                ("b", "hello world", ts(1)),  # dup content, inside horizon
+                ("c", "unique text", ts(2)),
+                ("d", "unique text 2", ts(3)),
+                ("e", "unique text", ts(4)),  # dup of c, inside horizon
+            ],
+            sch,
+        ).write.mode("append").parquet(in_dir)
+
+        q = (
+            streaming_exact_dedup(
+                spark.readStream.schema(sch).parquet(in_dir)
+            )
+            .writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "data"))
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        rows = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+        kept = sorted(r["doc_id"] for r in rows)
+        assert kept == ["a", "c", "d"], kept
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
