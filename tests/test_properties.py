@@ -244,3 +244,53 @@ def test_image_parse_matches_reference_verbatim(resp):
     )
 
     assert parse_image_response(resp) == _REF_IMAGE_PARSE(resp)
+
+
+# --- T6 parity against the REFERENCE text-refinement parser executed
+# verbatim (llm/text_processing.py:137-268; module imports genai, hence
+# AST extraction — the nested parse_frames_from_block rides along inside
+# the outer FunctionDef).
+
+_REF_TEXT_PARSE = None
+
+
+def _ref_text_parse(resp):
+    global _REF_TEXT_PARSE
+    if _REF_TEXT_PARSE is None:
+        import logging
+
+        _REF_TEXT_PARSE = _load_reference_fn(
+            "/root/reference/ocr_dataset_builder/llm/text_processing.py",
+            "parse_text_llm_response",
+            {"re": re, "logging": logging},
+        )
+    return _REF_TEXT_PARSE(resp)
+
+
+_text_resp_line = st.one_of(
+    st.sampled_from(
+        [
+            "==== TASK 3: CLEANED AND CORRECTED OCR TEXT ====",
+            "==== TASK 4: MARKDOWN REPRESENTATION ====",
+            "==== TASK 5: CONTEXTUAL SUMMARY AND KEY INFORMATION ====",
+            "==== TASK 3: WRONG HEADER ====",
+            "-- Frame 0 --",
+            "-- Frame 1 --",
+            "-- Frame 23 --",
+            "-- Frame x --",
+            "-- Frame 2 -- trailing",
+            "",
+        ]
+    ),
+    st.text(alphabet=list("abc XY.=-"), max_size=24),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_text_resp_line, min_size=0, max_size=40).map("\n".join))
+def test_text_parse_matches_reference_verbatim(resp):
+    from ocr_dataset_builder_spark.operators.refinement import (
+        parse_llm_response as ours,
+    )
+
+    assert ours(resp) == _ref_text_parse(resp)
