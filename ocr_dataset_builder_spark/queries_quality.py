@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from .queries_corpus import (
     _HEX15_SQL,
     _NORM_CTE,
+    _NORM_SQL,
     _SHINGLE_CTE,
     _docs,
     _hex15,
@@ -431,22 +432,15 @@ _PACK_CAP = 512  # tokens per training block
 _PACK_BUCKET = 64  # docs per prefix-sum bucket
 
 
-def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing the way GPT-style pretraining does it: documents
-    are concatenated in deterministic doc_id order and cut into fixed
-    CAP-token blocks; each doc reports its global token offset and the
-    block span it lands in.
-
-    The global offset is a two-phase prefix sum (same shape as F7
-    slice_window): per-bucket token totals -> cumulative offsets over
-    the tiny (bucket, total) relation -> broadcast back over a
-    partitioned local window. No single-partition window ever touches
-    the full relation, so the plan survives 10^12 docs."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), " ")).alias("n_tok"),
-        F.floor(F.col("doc_id") / _PACK_BUCKET).alias("_b"),
-    )
+def pack_offsets(d: DataFrame, passengers: list[str] | None = None) -> DataFrame:
+    """Exact global token offsets over doc_id order via a two-phase
+    prefix sum (same shape as F7 slice_window): per-bucket token totals
+    -> cumulative offsets over the tiny (bucket, total) relation ->
+    broadcast back over a partitioned local window. No single-partition
+    window ever touches the full relation, so the plan survives 10^12
+    docs. Input needs (doc_id, n_tok); passenger columns ride along."""
+    passengers = passengers or []
+    d = d.withColumn("_b", F.floor(F.col("doc_id") / _PACK_BUCKET))
     counts = d.groupBy("_b").agg(F.sum("n_tok").alias("_n"))
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -463,7 +457,7 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("start_off")
     out = d.join(F.broadcast(offsets), "_b").select(
-        "doc_id", "n_tok", start
+        "doc_id", "n_tok", start, *passengers
     )
     first = F.floor(F.col("start_off") / _PACK_CAP)
     last = F.floor((F.col("start_off") + F.col("n_tok") - 1) / _PACK_CAP)
@@ -473,7 +467,20 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_off",
         first.alias("first_block"),
         (last - first + 1).alias("n_blocks"),
+        *passengers,
     )
+
+
+def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing the way GPT-style pretraining does it: documents
+    are concatenated in deterministic doc_id order and cut into fixed
+    CAP-token blocks; each doc reports its global token offset and the
+    block span it lands in. See :func:`pack_offsets` for the two-phase
+    prefix-sum shape."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tok")
+    )
+    return pack_offsets(d)
 
 
 SQL_PACK_BLOCKS = f"""WITH d AS (
@@ -494,6 +501,85 @@ FROM o
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_prep — the composed pretraining-corpus deliverable
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-side product query: what a pretraining run
+    actually consumes. Decontaminate (drop probe docs and anything
+    sharing a probe 3-gram) -> stratified sample (per-source rates) ->
+    exact dedup (min-doc_id canonical per fingerprint, computed over the
+    SURVIVORS — group members removed upstream must not elect ghosts) ->
+    GPT-style pack offsets over the canonical docs.
+
+    Composition of already-proven pieces, but registered as ONE query so
+    cross-stage drift (e.g. dedup electing a canonical that sampling
+    removed) cannot hide between piecewise proofs — the corpus-side
+    twin of ``dataset_sample``."""
+    from .queries_corpus import _NORM_SPARK
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % _PROBE_MOD != 0)
+    hits = q_decontaminate(spark, sf_dir).where(F.col("contaminated"))
+    clean = d.join(hits.select("doc_id"), "doc_id", "left_anti")
+    sampled = clean.where(
+        _hex15(F.col("doc_id").cast("string")) % 10000
+        < _RATE_BP_SPARK(F.col("source"))
+    )
+    fp = sampled.withColumn("fp", F.md5(_NORM_SPARK(F.col("text"))))
+    w = Window.partitionBy("fp")
+    canon = (
+        fp.withColumn("canon_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("canon_id"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim("text"), " ")).alias("n_tok"),
+        )
+    )
+    return pack_offsets(canon, passengers=["source"])
+
+
+SQL_CORPUS_PREP = f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
+probe AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_PROBE_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN probe p ON s.shingle = p.shingle
+  WHERE s.doc_id % {_PROBE_MOD} <> 0
+),
+sampled AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  WHERE d.doc_id % {_PROBE_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND {_HEX15_SQL('CAST(d.doc_id AS VARCHAR)')} % 10000 < {_RATE_BP_SQL('d.source')}
+),
+canon AS (
+  SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok
+  FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5({_NORM_SQL}) ) AS canon_id
+    FROM sampled
+  ) WHERE doc_id = canon_id
+),
+o AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM canon
+)
+SELECT doc_id, n_tok, start_off,
+       CAST(floor(start_off / {_PACK_CAP}) AS BIGINT) AS first_block,
+       CAST(floor((start_off + n_tok - 1) / {_PACK_CAP})
+            - floor(start_off / {_PACK_CAP}) + 1 AS BIGINT) AS n_blocks,
+       source
+FROM o
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -502,4 +588,5 @@ QUERIES: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "pack_blocks": (q_pack_blocks, SQL_PACK_BLOCKS),
+    "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
 }

@@ -259,3 +259,25 @@ def test_pack_blocks_prefix_sum_is_two_phase(spark, sf_dir):
     assert tok_windows, plan
     for ln in tok_windows:
         assert re.search(r"windowspecdefinition\(_b#\d+L?, doc_id", ln), ln
+
+
+def test_corpus_prep_composition_shape(spark, sf_dir):
+    """The composed corpus deliverable keeps the component shapes: probe
+    side broadcast, no cartesian, and the pack prefix-sum windows
+    partitioned by the bucket."""
+    import re
+
+    from ocr_dataset_builder_spark.queries_quality import q_corpus_prep
+
+    plan = _executed_plan(q_corpus_prep(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    tok_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "sum(n_tok" in ln and "windowspecdefinition" in ln
+    ]
+    assert tok_windows, plan
+    for ln in tok_windows:
+        assert re.search(r"windowspecdefinition\(_b#\d+L?, doc_id", ln), ln

@@ -62,9 +62,11 @@ def test_stateful_dedup_across_batches(spark):
 
 
 def test_streaming_exact_dedup_within_watermark(spark):
-    """dropDuplicatesWithinWatermark-based exact dedup: a re-delivered
-    identical text within the horizon is dropped (first arrival wins);
-    distinct content always passes."""
+    """dropDuplicatesWithinWatermark-based exact dedup: one survivor per
+    content fingerprint within a batch (which row wins inside a single
+    micro-batch is engine-chosen), and a re-delivery in a LATER
+    micro-batch is always dropped — the fingerprint state survives in
+    the store across availableNow restarts."""
     from ocr_dataset_builder_spark.streaming.stateful import (
         streaming_exact_dedup,
     )
@@ -72,25 +74,8 @@ def test_streaming_exact_dedup_within_watermark(spark):
     in_dir = tempfile.mkdtemp(prefix="odb_dd_in_")
     out_dir = tempfile.mkdtemp(prefix="odb_dd_out_")
     sch = "doc_id string, text string, ts timestamp"
-    try:
-        import datetime
 
-        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
-
-        def ts(m):
-            return t0 + datetime.timedelta(minutes=m)
-
-        spark.createDataFrame(
-            [
-                ("a", "hello world", ts(0)),
-                ("b", "hello world", ts(1)),  # dup content, inside horizon
-                ("c", "unique text", ts(2)),
-                ("d", "unique text 2", ts(3)),
-                ("e", "unique text", ts(4)),  # dup of c, inside horizon
-            ],
-            sch,
-        ).write.mode("append").parquet(in_dir)
-
+    def _pass():
         q = (
             streaming_exact_dedup(
                 spark.readStream.schema(sch).parquet(in_dir)
@@ -104,9 +89,46 @@ def test_streaming_exact_dedup_within_watermark(spark):
         )
         q.awaitTermination()
 
+    try:
+        import datetime
+
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return t0 + datetime.timedelta(minutes=m)
+
+        spark.createDataFrame(
+            [
+                ("a", "hello world", ts(0)),
+                ("b", "hello world", ts(1)),  # same content, same batch
+                ("c", "unique text", ts(2)),
+            ],
+            sch,
+        ).write.mode("append").parquet(in_dir)
+        _pass()
         rows = spark.read.parquet(os.path.join(out_dir, "data")).collect()
-        kept = sorted(r["doc_id"] for r in rows)
-        assert kept == ["a", "c", "d"], kept
+        by_fp = {}
+        for r in rows:
+            by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+        assert len(by_fp) == 2, by_fp  # two distinct contents
+        assert all(len(v) == 1 for v in by_fp.values()), by_fp
+        survivors = {v[0] for v in by_fp.values()}
+        assert len(survivors & {"a", "b"}) == 1 and "c" in survivors
+
+        # batch 2: re-deliver both contents within the horizon, plus one
+        # genuinely new doc — only the new one may pass
+        spark.createDataFrame(
+            [
+                ("d", "hello world", ts(3)),
+                ("e", "unique text", ts(4)),
+                ("f", "fresh content", ts(5)),
+            ],
+            sch,
+        ).write.mode("append").parquet(in_dir)
+        _pass()
+        rows2 = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+        new_ids = {r["doc_id"] for r in rows2} - {r["doc_id"] for r in rows}
+        assert new_ids == {"f"}, new_ids
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
