@@ -502,6 +502,140 @@ FROM o
 
 
 # ---------------------------------------------------------------------------
+# quality_filter — the composed C4/Gopher keep-or-drop gate
+# ---------------------------------------------------------------------------
+
+# (name, threshold) in the deterministic order reasons are reported in.
+_QF_MIN_TOKENS = 20
+_QF_MIN_STOP = 0.03
+_QF_MIN_ALPHA = 0.6
+_QF_MAX_TOP2 = 0.10
+_QF_MAX_DUP5 = 0.30
+
+_QF_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter a pretraining pipeline actually applies: C4/Gopher
+    rules (min length, stopword presence, alphabetic ratio, top-2-gram
+    repetition, duplicate-5-gram repetition) evaluated in ONE scan —
+    every signal is an in-row expression over the same normalized token
+    array, so the composed gate costs the same as any single signal.
+    Emits keep + a deterministic comma-joined reason list; rules compare
+    the ROUNDED signal values so both engines decide boundaries
+    identically."""
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    sw = list(_QF_STOPWORDS)
+    n_tokens = F.size("t")
+    stop_ratio = F.round(
+        F.size(F.filter("t", lambda x: x.isin(sw))) / n_tokens, 6
+    )
+    nospace = F.length(F.regexp_replace("norm", " ", ""))
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace("norm", "[^a-z]", "")) / nospace, 6
+    )
+    d = (
+        nd.withColumn("s2", F.array_sort(_grams_all(F.col("t"), 2)))
+        .withColumn("s5", F.array_sort(_grams_all(F.col("t"), 5)))
+        .withColumn("acc", _run_fold(F.col("s2")))
+    )
+    m = F.size("s5")
+    eq = lambda: F.zip_with(  # noqa: E731
+        F.slice("s5", 2, m - 1), F.slice("s5", 1, m - 1), lambda a, b: a == b
+    )
+    dup_occ = F.size(
+        F.filter(
+            F.zip_with(
+                F.concat(F.array(F.lit(False)), eq()),
+                F.concat(eq(), F.array(F.lit(False))),
+                lambda a, b: a | b,
+            ),
+            lambda x: x,
+        )
+    )
+    top2 = F.round(F.col("acc.best") * F.length("acc.bestg") / F.length("norm"), 6)
+    dup5 = F.round(dup_occ / m, 6)
+    rules = [
+        ("min_tokens", n_tokens >= _QF_MIN_TOKENS),
+        ("stopwords", stop_ratio >= _QF_MIN_STOP),
+        ("alpha", alpha_ratio >= _QF_MIN_ALPHA),
+        ("rep2", top2 <= _QF_MAX_TOP2),
+        ("rep5", dup5 <= _QF_MAX_DUP5),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(~cond, F.lit(name)) for name, cond in rules]
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        top2.alias("top2_char_frac"),
+        dup5.alias("dup5_frac"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+SQL_QUALITY_FILTER = f"""WITH {_NORM_CTE},
+t AS (SELECT doc_id, norm, string_split(norm, ' ') AS tk FROM norm_docs),
+base AS (
+  SELECT doc_id, norm, tk,
+         len(tk) AS n_tokens,
+         round(len(list_filter(tk, x -> x IN {_QF_STOPWORDS!r})) / len(tk), 6)
+           AS stop_ratio,
+         round(length(regexp_replace(norm, '[^a-z]', '', 'g'))
+               / length(replace(norm, ' ', '')), 6) AS alpha_ratio
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i+1])) AS g
+  FROM t
+),
+c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, g, n FROM (
+    SELECT doc_id, g, n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS r
+    FROM c2) WHERE r = 1
+),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+  FROM t
+),
+c5 AS (SELECT doc_id, g, count(*) AS n FROM g5 GROUP BY 1, 2),
+d5 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dup_occ,
+         CAST(sum(n) AS BIGINT) AS m
+  FROM c5 GROUP BY 1
+),
+sig AS (
+  SELECT b.doc_id, b.n_tokens, b.stop_ratio, b.alpha_ratio,
+         round(top2.n * length(top2.g) / length(b.norm), 6) AS top2_char_frac,
+         round(d5.dup_occ / d5.m, 6) AS dup5_frac
+  FROM base b JOIN top2 ON top2.doc_id = b.doc_id JOIN d5 ON d5.doc_id = b.doc_id
+),
+flags AS (
+  SELECT *,
+         concat_ws(',',
+           CASE WHEN NOT (n_tokens >= {_QF_MIN_TOKENS}) THEN 'min_tokens' END,
+           CASE WHEN NOT (stop_ratio >= {_QF_MIN_STOP}) THEN 'stopwords' END,
+           CASE WHEN NOT (alpha_ratio >= {_QF_MIN_ALPHA}) THEN 'alpha' END,
+           CASE WHEN NOT (top2_char_frac <= {_QF_MAX_TOP2}) THEN 'rep2' END,
+           CASE WHEN NOT (dup5_frac <= {_QF_MAX_DUP5}) THEN 'rep5' END
+         ) AS reasons
+  FROM sig
+)
+SELECT doc_id, n_tokens, stop_ratio, alpha_ratio, top2_char_frac, dup5_frac,
+       reasons = '' AS keep, reasons
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_prep — the composed pretraining-corpus deliverable
 # ---------------------------------------------------------------------------
 
@@ -589,4 +723,5 @@ QUERIES: dict[str, tuple] = {
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "pack_blocks": (q_pack_blocks, SQL_PACK_BLOCKS),
     "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
 }

@@ -281,3 +281,14 @@ def test_corpus_prep_composition_shape(spark, sf_dir):
     assert tok_windows, plan
     for ln in tok_windows:
         assert re.search(r"windowspecdefinition\(_b#\d+L?, doc_id", ln), ln
+
+
+def test_quality_filter_is_single_scan(spark, sf_dir):
+    """The composed keep/drop gate evaluates every rule in one scan —
+    no Exchange, no Python, one FileScan."""
+    from ocr_dataset_builder_spark.queries_quality import q_quality_filter
+
+    plan = _executed_plan(q_quality_filter(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
