@@ -502,6 +502,77 @@ FROM o
 
 
 # ---------------------------------------------------------------------------
+# unigram_logprob — CCNet-style LM scoring (perplexity-filter stand-in)
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log10-probability under the corpus's own
+    unigram distribution — the shape of CCNet/KenLM perplexity filtering
+    (score docs by how 'typical' their tokens are; a real run swaps the
+    self-trained unigram table for an external LM table).
+
+    Scale shape: one partial-aggregated shuffle builds the unigram
+    table; the table is small (vocabulary-sized) so joining it back to
+    the exploded tokens broadcasts. The per-doc mean then folds the
+    position-sorted logprob list IN-ROW — a deterministic summation
+    order, because a float `avg()` aggregation is order-dependent and
+    would never hash-match across engines."""
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    toks = nd.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("_total"))
+    logp = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "pos",
+            F.log10(F.col("n") / F.col("_total")).alias("lp"),
+        )
+    )
+    per_doc = logp.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("lps")
+    )
+    s = F.aggregate(
+        F.transform("lps", lambda r: r["lp"]), F.lit(0.0), lambda a, x: a + x
+    )
+    return per_doc.select(
+        "doc_id",
+        F.size("lps").alias("n_tokens"),
+        F.round(s / F.size("lps"), 6).alias("mean_log10p"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""WITH {_NORM_CTE},
+toks AS (
+  SELECT doc_id, u.tok, u.pos FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(norm, ' ')) + 1),
+                                 i -> {{'pos': CAST(i - 1 AS INT),
+                                        'tok': string_split(norm, ' ')[i]}})) AS u
+    FROM norm_docs)
+),
+freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq),
+lp AS (
+  SELECT t.doc_id, t.pos, log10(f.n / tot.total) AS lp
+  FROM toks t JOIN freq f ON f.tok = t.tok, tot
+),
+per_doc AS (
+  SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY 1
+)
+SELECT doc_id,
+       len(lps) AS n_tokens,
+       round(list_reduce(list_prepend(0.0, lps), (a, x) -> a + x) / len(lps), 6)
+         AS mean_log10p
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality_filter — the composed C4/Gopher keep-or-drop gate
 # ---------------------------------------------------------------------------
 
@@ -724,4 +795,5 @@ QUERIES: dict[str, tuple] = {
     "pack_blocks": (q_pack_blocks, SQL_PACK_BLOCKS),
     "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
 }

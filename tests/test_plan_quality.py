@@ -292,3 +292,13 @@ def test_quality_filter_is_single_scan(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_unigram_logprob_table_is_broadcast(spark, sf_dir):
+    """The vocabulary-sized unigram table must broadcast back onto the
+    exploded tokens; no cartesian beyond the 1-row total relation."""
+    from ocr_dataset_builder_spark.queries_quality import q_unigram_logprob
+
+    plan = _executed_plan(q_unigram_logprob(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
