@@ -1,22 +1,36 @@
-"""Driver-contract queries: corpus-hygiene operators a training-data
-pipeline runs before anything else — repetition quality signals
-(Gopher-style), PII detection/redaction, and benchmark decontamination.
+"""Driver-contract queries: corpus hygiene and assembly — the operators
+a training-data pipeline runs before and after everything else.
+
+Hygiene: Gopher repetition signals (``quality_repetition``), PII
+detection/redaction (``pii_scrub``), benchmark decontamination
+(``decontaminate``), CCNet-style LM scoring (``unigram_logprob``), and
+the composed C4/Gopher keep-or-drop gate (``quality_filter``).
+Assembly: corpus mixing (``mixture_stats``), deterministic stratified
+sampling (``stratified_sample``), sliding-window chunking
+(``doc_chunking``), GPT-style token-offset packing (``pack_blocks``),
+and the composed end-to-end deliverable (``corpus_prep``).
 
 No reference counterpart (the reference pipeline stops at OCR cleanup);
 these extend the engine the way a 100 TB pretraining corpus needs.
 
 Scale notes
 -----------
-* ``quality_repetition`` is entirely in-row (zip_with over shifted
-  slices + one sorted-run fold) — zero shuffles, scales linearly with
-  the scan.
-* ``pii_scrub`` is three JVM regexp kernels over one scan — zero
-  shuffles. The deterministic PII enrichment stage exists only because
-  the synthetic corpus contains no PII to find (same build-then-process
-  discipline as queries_refine).
+* Scan-local (zero shuffles, zero Python, gate-pinned):
+  ``quality_repetition`` and ``quality_filter`` (in-row sorted-run
+  folds), ``pii_scrub`` (three JVM regexp kernels),
+  ``stratified_sample`` (md5-bucket filter), ``doc_chunking``
+  (sequence+slice+posexplode). The PII enrichment stage exists only
+  because the synthetic corpus contains no PII to find (same
+  build-then-process discipline as queries_refine).
 * ``decontaminate`` broadcasts the probe-shingle set (a benchmark
   suite's n-grams are tiny next to the corpus) so the only shuffle is
   the per-doc hit count; the corpus relation is never self-joined.
+* ``pack_blocks``/``corpus_prep`` compute exact global token offsets
+  via the F7 two-phase prefix sum — no single-partition window over
+  the data.
+* ``unigram_logprob`` broadcasts the vocabulary-sized frequency table
+  and folds per-doc logprobs in a deterministic in-row order (float
+  ``avg()`` is order-dependent and would never hash-match).
 """
 
 from __future__ import annotations
