@@ -130,6 +130,7 @@ def main() -> None:
     from ocr_dataset_builder_spark import queries_html as qh
 
     timed("events_sessions", qe.q_events_sessions(spark, SF_DIR))
+    timed("events_asof_join", qe.q_events_asof_join(spark, SF_DIR))
     timed("html_main_text", qh.q_html_main_text(spark, SF_DIR))
     timed("boilerplate_phrases", qh.q_boilerplate_phrases(spark, SF_DIR))
 

@@ -103,7 +103,71 @@ GROUP BY 1, 2
 """
 
 
+
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the classic operator Spark's DataFrame API lacks:
+    attach to every non-error event the most recent error event at or
+    before it for the same user (feature staleness / last-known-state
+    semantics).
+
+    Implemented as a merge-scan, NOT a range join: ONE scan flags
+    marker rows in-row, one window over (user_id, ts-order) carries the
+    last seen marker forward (``last(..., ignorenulls)``), then keep
+    the event rows. ONE shuffle on user_id, zero range explosion — at
+    10^12 events a range-predicate join would enumerate event x marker
+    pairs; this enumerates each row once. Markers sort before events at
+    an equal timestamp (tag order), matching ASOF's inclusive `>=`.
+    Staleness is emitted in exact integer microseconds (no float drift
+    between engines). DuckDB's native ASOF JOIN is the oracle."""
+    e = _events(spark, sf_dir)
+    is_marker = F.col("event_type") == "error"
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        # _tag 0 = marker: sorts FIRST at an equal timestamp so the
+        # inclusive `>=` semantics hold without a second stream
+        F.when(is_marker, F.lit(0)).otherwise(F.lit(1)).alias("_tag"),
+        F.when(is_marker, F.col("event_id")).alias("_m_id"),
+        F.when(is_marker, F.col("ts")).alias("_m_ts_raw"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = tagged.select(
+        "*",
+        F.last("_m_id", ignorenulls=True).over(w).alias("last_error_id"),
+        F.last("_m_ts_raw", ignorenulls=True).over(w).alias("_m_ts"),
+    )
+    return merged.where(F.col("_tag") == 1).select(
+        "event_id",
+        "user_id",
+        "last_error_id",
+        # ts is TIMESTAMP_NTZ; cast both sides identically — the
+        # difference is invariant to the (constant) session offset
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("_m_ts").cast("timestamp"))
+        ).alias("staleness_us"),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+SELECT e.event_id, e.user_id,
+       m.event_id AS last_error_id,
+       date_diff('microsecond', m.ts, e.ts) AS staleness_us
+FROM (SELECT * FROM events WHERE event_type <> 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') m
+  ON e.user_id = m.user_id AND e.ts >= m.ts
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
 }

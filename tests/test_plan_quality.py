@@ -302,3 +302,14 @@ def test_unigram_logprob_table_is_broadcast(spark, sf_dir):
     plan = _executed_plan(q_unigram_logprob(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_is_merge_scan(spark, sf_dir):
+    """The as-of join must be the merge-scan shape: one FileScan, one
+    Exchange (the user_id hash), no join node at all."""
+    from ocr_dataset_builder_spark.queries_events import q_events_asof_join
+
+    plan = _executed_plan(q_events_asof_join(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
