@@ -166,8 +166,85 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') m
 """
 
 
+
+
+
+_RJ_PERIOD_S = 21600  # a maintenance window every 6 hours...
+_RJ_OFFSET_S = 19800  # ...starting 5h30m into the period (so it CROSSES
+_RJ_LEN_S = 2700      # the 6h bucket boundary: 5h30m + 45min = 6h15m)
+_RJ_N_WINDOWS = 120   # 30 days of them
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join via bucket expansion — the
+    standard trick for the other join Spark's optimizer turns into a
+    nested loop: which maintenance window (if any) was each event
+    inside?
+
+    Each window explodes to the 6h bucket(s) it overlaps (here exactly
+    two, because the window straddles the bucket boundary by
+    construction); events compute their bucket in-row; an EQUI-join on
+    the bucket + a residual containment filter replaces the
+    range-predicate join. The window side stays tiny (windows x <=2
+    buckets) and broadcasts; at 10^12 events a BroadcastNestedLoopJoin
+    over a range predicate would evaluate every (event, window) pair.
+    The oracle states the naive range predicate directly — same rows.
+    Times are compared in wall-clock seconds since 2024-01-01, derived
+    identically in both engines (epoch offsets cancel)."""
+    e = _events(spark, sf_dir)
+    epoch0 = F.to_timestamp(F.lit("2024-01-01 00:00:00")).cast("long")
+    es = F.col("ts").cast("timestamp").cast("long") - epoch0
+    ev = e.select("event_id", es.alias("es")).withColumn(
+        "bucket", F.floor(F.col("es") / _RJ_PERIOD_S)
+    )
+    w = (
+        spark.range(_RJ_N_WINDOWS)
+        .select(
+            F.col("id").cast("int").alias("w_id"),
+            (F.col("id") * _RJ_PERIOD_S + _RJ_OFFSET_S).alias("start_s"),
+        )
+        .withColumn("end_s", F.col("start_s") + _RJ_LEN_S)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_s") / _RJ_PERIOD_S),
+                    F.floor((F.col("end_s") - 1) / _RJ_PERIOD_S),
+                )
+            ),
+        )
+    )
+    return (
+        ev.join(F.broadcast(w), "bucket")
+        .where((F.col("es") >= F.col("start_s")) & (F.col("es") < F.col("end_s")))
+        .select(
+            "event_id",
+            "w_id",
+            (F.col("es") - F.col("start_s")).alias("offset_s"),
+        )
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = f"""WITH w AS (
+  SELECT CAST(i AS INT) AS w_id,
+         CAST(i * {_RJ_PERIOD_S} + {_RJ_OFFSET_S} AS BIGINT) AS start_s,
+         CAST(i * {_RJ_PERIOD_S} + {_RJ_OFFSET_S} + {_RJ_LEN_S} AS BIGINT) AS end_s
+  FROM range(0, {_RJ_N_WINDOWS}) AS r(i)
+),
+ev AS (
+  SELECT event_id,
+         CAST(floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00'))
+              AS BIGINT) AS es
+  FROM events
+)
+SELECT e.event_id, w.w_id, e.es - w.start_s AS offset_s
+FROM ev e JOIN w ON e.es >= w.start_s AND e.es < w.end_s
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
 }

@@ -313,3 +313,14 @@ def test_asof_join_is_merge_scan(spark, sf_dir):
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The interval-containment join must run as a broadcast EQUI-join
+    on the bucket (+ residual filter) — never a nested-loop range join."""
+    from ocr_dataset_builder_spark.queries_events import q_events_range_join
+
+    plan = _executed_plan(q_events_range_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
