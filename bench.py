@@ -132,6 +132,7 @@ def main() -> None:
     timed("events_sessions", qe.q_events_sessions(spark, SF_DIR))
     timed("events_asof_join", qe.q_events_asof_join(spark, SF_DIR))
     timed("events_range_join", qe.q_events_range_join(spark, SF_DIR))
+    timed("events_rollup", qe.q_events_rollup(spark, SF_DIR))
     timed("html_main_text", qh.q_html_main_text(spark, SF_DIR))
     timed("boilerplate_phrases", qh.q_boilerplate_phrases(spark, SF_DIR))
 

@@ -242,9 +242,59 @@ FROM ev e JOIN w ON e.es >= w.start_s AND e.es < w.end_s
 """
 
 
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: ONE pass emits the
+    hour, day, and grand-total granularities via ROLLUP grouping sets
+    (Catalyst expands the sets inside a single aggregation — no
+    re-scan per granularity, which is what a naive UNION of three
+    GROUP BYs would pay). level: 2=hour, 1=day, 0=total."""
+    e = _events(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        e.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            (
+                F.when(F.col("hour").isNotNull(), 2)
+                .when(F.col("day").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("int").alias("level"),
+            F.coalesce("day", F.lit("")).alias("day"),
+            F.coalesce("hour", F.lit("")).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT CAST(CASE WHEN hour IS NOT NULL THEN 2
+            WHEN day IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level,
+       coalesce(day, '') AS day,
+       coalesce(hour, '') AS hour,
+       n_events, sum_value
+FROM (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         count(*) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM events
+  GROUP BY ROLLUP (day, hour)
+)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
 }

@@ -324,3 +324,13 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rollup_is_single_scan(spark, sf_dir):
+    """ROLLUP grouping sets must expand inside one aggregation over one
+    scan — not a UNION of per-granularity re-scans."""
+    from ocr_dataset_builder_spark.queries_events import q_events_rollup
+
+    plan = _executed_plan(q_events_rollup(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan, plan
