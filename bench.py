@@ -152,6 +152,7 @@ def main() -> None:
     timed("corpus_prep", qq.q_corpus_prep(spark, SF_DIR))
     timed("quality_filter", qq.q_quality_filter(spark, SF_DIR))
     timed("unigram_logprob", qq.q_unigram_logprob(spark, SF_DIR))
+    timed("distinct_sketch", qq.q_distinct_sketch(spark, SF_DIR))
 
     print(
         json.dumps(

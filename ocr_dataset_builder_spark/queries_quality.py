@@ -799,6 +799,86 @@ FROM o
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# distinct_sketch — KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # the 15-hex-digit md5 prefix space
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting that is still exactly
+    oracle-checkable: the KMV sketch (k smallest hash values of the
+    token set) is a DETERMINISTIC function of the data — unlike HLL
+    registers — so both engines build the identical sketch and the
+    identical estimate ((k-1) / normalized k-th minimum). The exact
+    distinct count rides along to show the estimate lands close.
+
+    Scale shape: the per-source sketch is a groupBy over (source,
+    hash) distinct values then a bounded top-k — mergeable across
+    partitions the way production sketches are (min of unions =
+    union of mins)."""
+    nd = _norm_docs(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    toks = (
+        nd.join(src, "doc_id")
+        .select("source", F.explode(F.split("norm", " ")).alias("tok"))
+        .select("source", _hex15(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kmv = (
+        toks.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.max("h").alias("kth_h"),
+            F.count("*").cast("int").alias("k_used"),
+            F.countDistinct("h").alias("_chk"),
+        )
+    )
+    exact = toks.groupBy("source").agg(F.count("*").alias("exact_distinct"))
+    est = F.when(
+        F.col("k_used") < _KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise((F.lit(_KMV_K - 1)) / (F.col("kth_h") / F.lit(_KMV_SPACE)))
+    return kmv.join(exact, "source").select(
+        "source",
+        "k_used",
+        "kth_h",
+        "exact_distinct",
+        F.round(est, 3).alias("est_distinct"),
+    )
+
+
+SQL_DISTINCT_SKETCH = f"""WITH {_NORM_CTE},
+toks AS (
+  SELECT DISTINCT d.source, {_HEX15_SQL('u.tok')} AS h
+  FROM norm_docs n
+  JOIN documents d ON d.doc_id = n.doc_id,
+  unnest(string_split(n.norm, ' ')) AS u(tok)
+),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+  FROM toks
+),
+kmv AS (
+  SELECT source, max(h) AS kth_h, CAST(count(*) AS INT) AS k_used
+  FROM ranked WHERE rnk <= {_KMV_K} GROUP BY 1
+),
+exact AS (
+  SELECT source, count(*) AS exact_distinct FROM toks GROUP BY 1
+)
+SELECT k.source, k.k_used, k.kth_h, e.exact_distinct,
+       round(CASE WHEN k.k_used < {_KMV_K} THEN CAST(e.exact_distinct AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) / (k.kth_h / {_KMV_SPACE!r}) END, 3)
+         AS est_distinct
+FROM kmv k JOIN exact e ON e.source = k.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -810,4 +890,5 @@ QUERIES: dict[str, tuple] = {
     "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
 }
