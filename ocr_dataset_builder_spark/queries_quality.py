@@ -879,6 +879,103 @@ FROM kmv k JOIN exact e ON e.source = k.source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# bm25_score — ranked retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("customer", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the search primitive a
+    corpus engine owes its users. Per-term tf is an in-row filter count
+    (no token explode); N, avgdl, and each term's document frequency
+    come from ONE 1-row aggregate that broadcasts back; the score sums
+    the per-term contributions in fixed term order so the float result
+    is bit-identical across engines (then rounded). One scan + one
+    broadcast, no shuffle of the corpus."""
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+
+    def _tf(term: str):
+        # NB: a two-argument lambda would make pyspark pass the element
+        # INDEX as the second parameter — bind the term via closure
+        return F.size(F.filter("t", lambda x: x == F.lit(term)))
+
+    tf_cols = [
+        _tf(term).alias(f"tf{i}") for i, term in enumerate(_BM25_TERMS)
+    ]
+    d = nd.select("doc_id", F.size("t").alias("dl"), *tf_cols)
+    totals = d.agg(
+        F.count("*").alias("_N"),
+        F.sum("dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = d.crossJoin(F.broadcast(totals))
+    avgdl = F.col("_sumdl") / F.col("_N")
+    score = F.lit(0.0)
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("_N") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf{i}")
+        score = score + idf * tf * (_BM25_K1 + 1) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+    return j.where(
+        sum((F.col(f"tf{i}") for i in range(len(_BM25_TERMS))), F.lit(0)) > 0
+    ).select(
+        "doc_id",
+        *[F.col(f"tf{i}") for i in range(len(_BM25_TERMS))],
+        F.round(score, 6).alias("bm25"),
+    )
+
+
+def _bm25_sql() -> str:
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_exprs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"ln((t._N - t.df{i} + 0.5) / (t.df{i} + 0.5) + 1.0)"
+        f" * d.tf{i} * ({_BM25_K1} + 1)"
+        f" / (d.tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / (t.sumdl / t._N)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"d.tf{i}" for i in range(len(_BM25_TERMS)))
+    tf_list = ", ".join(f"d.tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""WITH {_NORM_CTE},
+d AS (
+  SELECT doc_id, len(string_split(norm, ' ')) AS dl,
+         {tf_exprs}
+  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS tk FROM norm_docs)
+),
+t AS (
+  SELECT count(*) AS _N, CAST(sum(dl) AS BIGINT) AS sumdl,
+         {df_exprs}
+  FROM d
+)
+SELECT d.doc_id, {tf_list},
+       round({score_terms}, 6) AS bm25
+FROM d, t
+WHERE {any_tf} > 0
+"""
+
+
+SQL_BM25_SCORE = _bm25_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -891,4 +988,5 @@ QUERIES: dict[str, tuple] = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
+    "bm25_score": (q_bm25_score, SQL_BM25_SCORE),
 }

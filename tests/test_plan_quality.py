@@ -334,3 +334,13 @@ def test_rollup_is_single_scan(spark, sf_dir):
     plan = _executed_plan(q_events_rollup(spark, sf_dir))
     assert plan.count("FileScan") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_bm25_is_scan_plus_broadcast(spark, sf_dir):
+    """BM25 must be one corpus scan-side projection plus the 1-row
+    totals broadcast — no corpus shuffle, no token explode."""
+    from ocr_dataset_builder_spark.queries_quality import q_bm25_score
+
+    plan = _executed_plan(q_bm25_score(spark, sf_dir))
+    assert "Generate explode" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
