@@ -1,0 +1,53 @@
+"""Invariants of the composed corpus_prep deliverable and the packing
+operator: exact, gap-free global token offsets, and composition safety
+(dedup canonicals are elected among the survivors only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pack_offsets_are_contiguous(spark, sf_dir):
+    from ocr_dataset_builder_spark.queries_quality import q_pack_blocks
+
+    rows = sorted(
+        (r["doc_id"], r["n_tok"], r["start_off"], r["first_block"], r["n_blocks"])
+        for r in q_pack_blocks(spark, sf_dir).collect()
+    )
+    off = 0
+    cap = 512
+    for doc_id, n_tok, start, first, nb in rows:
+        assert start == off, (doc_id, start, off)
+        assert first == start // cap
+        assert nb == (start + n_tok - 1) // cap - first + 1
+        off += n_tok
+    assert off > 0
+
+
+def test_corpus_prep_composition_invariants(spark, sf_dir):
+    from ocr_dataset_builder_spark.queries_quality import (
+        _PROBE_MOD,
+        q_corpus_prep,
+        q_decontaminate,
+        q_stratified_sample,
+    )
+
+    prep = q_corpus_prep(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in prep]
+    assert len(ids) == len(set(ids))
+    # no probe docs, no contaminated docs, all sampled
+    assert all(i % _PROBE_MOD != 0 for i in ids)
+    contaminated = {
+        r["doc_id"]
+        for r in q_decontaminate(spark, sf_dir).collect()
+        if r["contaminated"]
+    }
+    assert not (set(ids) & contaminated)
+    sampled = {r["doc_id"] for r in q_stratified_sample(spark, sf_dir).collect()}
+    assert set(ids) <= sampled
+    # offsets contiguous over the SURVIVOR corpus
+    rows = sorted((r["doc_id"], r["n_tok"], r["start_off"]) for r in prep)
+    off = 0
+    for _id, n_tok, start in rows:
+        assert start == off
+        off += n_tok
