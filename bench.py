@@ -154,6 +154,7 @@ def main() -> None:
     timed("unigram_logprob", qq.q_unigram_logprob(spark, SF_DIR))
     timed("distinct_sketch", qq.q_distinct_sketch(spark, SF_DIR))
     timed("bm25_score", qq.q_bm25_score(spark, SF_DIR))
+    timed("kmeans_step", qc.q_kmeans_step(spark, SF_DIR))
 
     print(
         json.dumps(

@@ -1523,6 +1523,72 @@ FROM ranked WHERE rnk <= 1
 """
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means Lloyd iteration, exactly oracle-checked: assign
+    every vector to its nearest centroid (the IVF assign path), then
+    recompute each centroid as the per-dimension mean of its members,
+    with per-cluster inertia. The iterative trainer is this operator in
+    a loop (same driver-side convergence pattern as
+    connected_components).
+
+    Determinism: per-dimension sums and the inertia sum use
+    DECIMAL(25,9) over round(x, 9) — float aggregation order would
+    differ between engines; decimal addition is exact, so the means are
+    bit-identical. One shuffle on (cent_id, dim) after the in-row
+    distance fold; the centroid table broadcasts."""
+    assign = _ivf_assign(spark, sf_dir, 1).select("vec_id", "cent_id", "d2")
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dec = lambda c: F.round(c.cast("double"), 9).cast("decimal(25,9)")  # noqa: E731
+    vals = assign.join(e, "vec_id").select(
+        "cent_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    per = vals.groupBy("cent_id", "dim").agg(
+        F.sum(dec(F.col("val"))).alias("s"), F.count("*").alias("n")
+    )
+    inert = assign.groupBy("cent_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(dec(F.col("d2"))).alias("inertia"),
+    )
+    return per.join(inert, "cent_id").select(
+        "cent_id",
+        "dim",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("new_val"),
+        "n_members",
+        F.round(F.col("inertia").cast("double"), 6).alias("inertia"),
+    )
+
+
+SQL_KMEANS_STEP = f"""WITH {_IVF_CTE},
+assign AS (SELECT vec_id, cent_id, d2 FROM ranked WHERE rnk <= 1),
+vals AS (
+  SELECT a.cent_id, x.u.dim AS dim, x.u.val AS val
+  FROM (
+    SELECT e.vec_id,
+           unnest(list_transform(range(1, len(e.embedding) + 1),
+                  i -> {{'dim': CAST(i - 1 AS INT),
+                         'val': CAST(e.embedding[i] AS DOUBLE)}})) AS u
+    FROM embeddings e) x
+  JOIN assign a ON a.vec_id = x.vec_id
+),
+per AS (
+  SELECT cent_id, dim,
+         sum(CAST(round(val, 9) AS DECIMAL(25,9))) AS s,
+         count(*) AS n
+  FROM vals GROUP BY 1, 2
+),
+inert AS (
+  SELECT cent_id, count(*) AS n_members,
+         sum(CAST(round(d2, 9) AS DECIMAL(25,9))) AS inertia
+  FROM assign GROUP BY 1
+)
+SELECT p.cent_id, p.dim,
+       round(CAST(p.s AS DOUBLE) / p.n, 6) AS new_val,
+       i.n_members,
+       round(CAST(i.inertia AS DOUBLE), 6) AS inertia
+FROM per p JOIN inert i ON i.cent_id = p.cent_id
+"""
+
+
 def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF read path: candidate set per query = vectors whose nearest
     list is among the query's nprobe nearest lists. Output candidate
@@ -1762,5 +1828,6 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),
     "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
+    "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
 }
