@@ -36,7 +36,7 @@ _PRIORITY = [
     "length_percentiles_agg", "simhash", "simhash_near",
     "quality_repetition", "pii_scrub", "decontaminate",
     "mixture_stats", "stratified_sample", "doc_chunking", "pack_blocks",
-    "corpus_prep", "quality_filter", "unigram_logprob", "events_asof_join", "events_range_join", "events_rollup", "distinct_sketch", "bm25_score", "kmeans_step",
+    "corpus_prep", "quality_filter", "unigram_logprob", "events_asof_join", "events_range_join", "events_rollup", "distinct_sketch", "bm25_score", "kmeans_step", "ann_recall",
     # the flagship chain stays inside any plausible budget
     "flagship_extract", "span_seq", "ocr_clean", "media_frames",
 ]

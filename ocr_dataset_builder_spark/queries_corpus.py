@@ -1523,6 +1523,38 @@ FROM ranked WHERE rnk <= 1
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN observability: recall@k of the LSH-bucket candidate path
+    against the brute-force truth — the measurement that tells an
+    operator whether the approximate index is good enough to serve.
+    Composition of the two registered paths (broadcast query buckets,
+    keyed joins only); at scale this runs on a sampled query set
+    exactly like this."""
+    b = q_ann_lsh_bucket(spark, sf_dir)
+    qb = b.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "bucket"
+    )
+    cands = b.join(F.broadcast(qb), "bucket").where(
+        F.col("vec_id") != F.col("q_id")
+    ).select("q_id", F.col("vec_id").alias("cand_id"))
+    n_cand = cands.groupBy("q_id").agg(F.count("*").alias("n_candidates"))
+    truth = q_ann_cosine_topk(spark, sf_dir)
+    hits = truth.join(cands, ["q_id", "cand_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qb.select("q_id")
+        .join(n_cand, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / _TOP_K, 6).alias("recall"),
+        )
+    )
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full k-means Lloyd iteration, exactly oracle-checked: assign
     every vector to its nearest centroid (the IVF assign path), then
@@ -1801,6 +1833,28 @@ SELECT doc_id FROM d, m WHERE doc_id IN {_ALLOWLIST!r} OR m.c = 0
 """
 
 
+SQL_ANN_RECALL = f"""WITH b AS ({SQL_ANN_LSH_BUCKET}),
+qb AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+cands AS (
+  SELECT qb.q_id, b.vec_id AS cand_id
+  FROM b JOIN qb ON qb.bucket = b.bucket AND b.vec_id <> qb.q_id
+),
+n_cand AS (SELECT q_id, count(*) AS n_candidates FROM cands GROUP BY 1),
+truth AS ({SQL_ANN_COSINE_TOPK}),
+hits AS (
+  SELECT t.q_id, count(*) AS n_hits
+  FROM truth t JOIN cands c ON c.q_id = t.q_id AND c.cand_id = t.cand_id
+  GROUP BY 1
+)
+SELECT qb.q_id,
+       coalesce(n.n_candidates, 0) AS n_candidates,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {_TOP_K}, 6) AS recall
+FROM qb LEFT JOIN n_cand n ON n.q_id = qb.q_id
+        LEFT JOIN hits h ON h.q_id = qb.q_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, SQL_EMBEDDING_NEAR_DUP_LSH),
@@ -1829,5 +1883,6 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
 }
