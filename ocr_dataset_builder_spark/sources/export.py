@@ -1,0 +1,96 @@
+"""Sharded dataset export — the write path a 100 TB corpus job ends
+with: size-bounded parquet shards in a partitioned layout plus a
+manifest of what was written.
+
+Design for scale:
+
+* ``partitionBy(source)`` gives the consumer partition pruning;
+  ``maxRecordsPerFile`` bounds every shard so downstream loaders get
+  uniform work units (a single skewed task cannot emit a 100 GB file);
+* one ``repartition(n, source)`` ahead of the write controls the
+  file count floor (without it, every task writes a sliver of every
+  partition — the classic small-files problem);
+* the manifest is derived from the committed files themselves (one
+  driver-side listing of file metadata, no data re-read) so it cannot
+  drift from what is actually on disk.
+
+No reference counterpart (the reference writes loose per-video JSON,
+data/extract_text_dataset.py) — this is the engine's bulk-export twin
+of the run-scoped extraction sink in pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def export_sharded(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "source",
+    max_records_per_file: int = 10_000,
+    n_tasks: int | None = None,
+) -> None:
+    """Write ``df`` as parquet shards under ``path`` partitioned by
+    ``partition_col``, each shard holding at most
+    ``max_records_per_file`` rows."""
+    if n_tasks:
+        df = df.repartition(n_tasks, partition_col)
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest of an export: one row per shard with its partition
+    value, row count, and byte size — derived from the files actually
+    committed (read via the parquet footer metadata column, no data
+    scan)."""
+    files = spark.read.parquet(path).select(
+        "*", "_metadata.file_path", "_metadata.file_size"
+    )
+    agg = files.groupBy("file_path", "file_size").count()
+
+    from pyspark.sql import functions as F
+
+    # file_path is a URI (file://... or s3://...); the layout tail is
+    # .../<part_col>=<value>/<shard>.parquet regardless of scheme
+    return agg.select(
+        F.regexp_extract("file_path", r"/([^/]+=[^/]+)/[^/]*$", 1).alias(
+            "partition"
+        ),
+        F.regexp_extract("file_path", r"([^/]+)$", 1).alias("shard"),
+        F.col("count").alias("n_rows"),
+        F.col("file_size").alias("n_bytes"),
+    )
+
+
+def validate_export(
+    spark: SparkSession,
+    path: str,
+    expected_rows: int,
+    max_records_per_file: int,
+) -> dict:
+    """Post-export check a production job runs before swapping the
+    dataset pointer: total rows match, and no shard exceeds the bound.
+    Returns the summary dict; raises on violation."""
+    m = read_manifest(spark, path).collect()
+    total = sum(r["n_rows"] for r in m)
+    worst = max((r["n_rows"] for r in m), default=0)
+    if total != expected_rows:
+        raise RuntimeError(
+            f"export row mismatch: wrote {total}, expected {expected_rows}"
+        )
+    if worst > max_records_per_file:
+        raise RuntimeError(
+            f"shard bound violated: {worst} > {max_records_per_file}"
+        )
+    return {
+        "n_shards": len(m),
+        "total_rows": total,
+        "max_shard_rows": worst,
+        "partitions": len({r["partition"] for r in m}),
+    }
