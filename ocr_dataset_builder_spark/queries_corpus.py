@@ -1403,46 +1403,56 @@ _N_PLANES = 8
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing with integer pseudo-plane weights
     w(p,d) = ((p*1103515245 + d*12345) % 2001) - 1000 — deterministic and
-    engine-portable. Bucket = 8-bit sign pattern; ANN candidates are
-    same-bucket vectors (linear shuffle, no cross product)."""
-    # planes expand IN-ROW (explode of a literal sequence) — no join node
-    # at all, so downstream compositions stay free of nested-loop joins
-    elem = _elem(spark, sf_dir)
-    we = elem.withColumn(
-        "p", F.explode(F.sequence(F.lit(0), F.lit(_N_PLANES - 1)))
-    ).withColumn(
-        "w",
-        (
-            (F.col("p").cast("bigint") * 1103515245 + F.col("pos").cast("bigint") * 12345)
-            % 2001
-            - 1000
-        ).cast("double"),
+    engine-portable. Bucket = 8-bit sign pattern.
+
+    Every plane projection is an in-row sequential DOUBLE fold over the
+    embedding, bit-identical to the oracle's list_reduce in the same
+    index order (the _IVF_D2_SQL discipline) — ZERO shuffles and zero
+    Python; the previous form exploded dims x planes (512 rows per
+    vector) through two decimal aggregations. ANN candidates are
+    same-bucket vectors."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sums = we.groupBy("vec_id", "p").agg(
-        F.sum(F.round(F.col("w") * F.col("x"), 9).cast(_DEC)).alias("s")
-    )
-    bucket = sums.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, p)")).otherwise(0)
+
+    def plane_sum(p: int) -> F.Column:
+        idx = F.sequence(F.lit(0), F.size("v") - 1)
+        terms = F.transform(
+            idx,
+            lambda i: ((F.lit(p * 1103515245).cast("bigint")
+                        + i.cast("bigint") * 12345) % 2001 - 1000).cast("double")
+            * F.element_at("v", i.cast("int") + 1),
         )
-        .cast("int")
-        .alias("bucket")
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = sum(
+        (
+            F.when(plane_sum(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(_N_PLANES)
+        ),
+        F.lit(0),
     )
-    return bucket
+    return e.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
-SQL_ANN_LSH_BUCKET = f"""WITH {_EMB_ELEM_CTE},
-planes AS (SELECT CAST(unnest(range(0, {_N_PLANES})) AS INT) AS p),
-sums AS (
-  SELECT e.vec_id, pl.p,
-         sum(CAST(round(CAST((CAST(pl.p AS BIGINT) * 1103515245 + CAST(e.pos AS BIGINT) * 12345) % 2001 - 1000 AS DOUBLE) * e.x, 9)
-                  AS DECIMAL(25,9))) AS s
-  FROM elem e CROSS JOIN planes pl
-  GROUP BY 1, 2
-)
-SELECT vec_id,
-       CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
-FROM sums GROUP BY vec_id
+
+
+def _bucket_sql_expr() -> str:
+    """Bucket = 8-bit sign pattern; each plane projection is a
+    sequential DOUBLE list_reduce in index order — bit-identical to the
+    Spark in-row aggregate fold (same discipline as _IVF_D2_SQL)."""
+    projs = []
+    for p in range(_N_PLANES):
+        proj = (
+            "list_reduce(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(({p * 1103515245} + CAST(i - 1 AS BIGINT) * 12345) % 2001 - 1000 AS DOUBLE)"
+            " * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)"
+        )
+        projs.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(projs) + " AS INT)"
+
+SQL_ANN_LSH_BUCKET = f"""
+SELECT vec_id, {_bucket_sql_expr()} AS bucket FROM embeddings
 """
 
 
@@ -1777,19 +1787,8 @@ _COS_LSH_EXPR = (
     f"sqrt({_d_n2_sql('ea.embedding')} * {_d_n2_sql('eb.embedding')}), 4)"
 )
 
-SQL_EMBEDDING_NEAR_DUP_LSH = f"""WITH {_EMB_ELEM_CTE},
-planes AS (SELECT CAST(unnest(range(0, {_N_PLANES})) AS INT) AS p),
-sums AS (
-  SELECT e.vec_id, pl.p,
-         sum(CAST(round(CAST((CAST(pl.p AS BIGINT) * 1103515245 + CAST(e.pos AS BIGINT) * 12345) % 2001 - 1000 AS DOUBLE) * e.x, 9)
-                  AS DECIMAL(25,9))) AS s
-  FROM elem e CROSS JOIN planes pl
-  GROUP BY 1, 2
-),
-bkt AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
-  FROM sums GROUP BY vec_id
+SQL_EMBEDDING_NEAR_DUP_LSH = f"""WITH bkt AS (
+  SELECT vec_id, {_bucket_sql_expr()} AS bucket FROM embeddings
 ),
 bsize AS (
   SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket
