@@ -1660,13 +1660,19 @@ GROUP BY p.q_id
 
 
 def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    elem = _elem(spark, sf_dir)
-    norms = _norms(elem).select(
-        "vec_id", F.sqrt(F.col("n2").cast("double")).alias("nrm")
+    """Per-label vector stats; the L2 norm is an in-row sequential
+    DOUBLE fold (bit-identical to the oracle's list_reduce in the same
+    index order) — one scan, one shuffle on label, no element explode."""
+    e = _emb(spark, sf_dir).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    lab = _emb(spark, sf_dir).select("vec_id", "label")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
     return (
-        norms.join(lab, "vec_id")
+        e.select("label", nrm.alias("nrm"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
@@ -1675,11 +1681,11 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_LABEL_STATS = f"""WITH {_EMB_ELEM_CTE}
-SELECT e.label, count(*) AS n_vecs,
-       round(avg(sqrt(CAST(n.n2 AS DOUBLE))), 6) AS avg_norm
-FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id
-GROUP BY e.label
+SQL_EMBEDDING_LABEL_STATS = f"""
+SELECT label, count(*) AS n_vecs,
+       round(avg(sqrt({_d_n2_sql('embedding')})), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
 """
 
 
