@@ -291,10 +291,42 @@ FROM (
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON kernel over the props column: typed extraction with
+    get_json_object stays in whole-stage codegen (no UDF, no
+    from_json schema inference pass), then a grouped stat over the
+    extracted key. One scan, one shuffle on the derived key."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type", (F.col("k") % 10).cast("int").alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
+       count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
 }
