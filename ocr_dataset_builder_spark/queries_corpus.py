@@ -995,11 +995,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(stop_hits / n_tokens, 6).alias("stop_ratio"),
             F.round(avg_len, 6).alias("avg_token_len"),
             F.round(F.col("_alpha") / F.col("_nchars"), 6).alias("alpha_ratio"),
-            F.round(
-                0.4 * (stop_hits / n_tokens)
-                + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
-                + 0.3 * (F.col("_alpha") / F.col("_nchars")),
-                6,
+            # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): the composite
+            # can land EXACTLY on a 6-decimal boundary (e.g. 0.5103125),
+            # where Spark rounds the shortest decimal repr and DuckDB the
+            # binary value — floor of identical doubles is identical
+            (
+                F.floor(
+                    (
+                        0.4 * (stop_hits / n_tokens)
+                        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+                        + 0.3 * (F.col("_alpha") / F.col("_nchars"))
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
             ).alias("quality"),
         )
     )
@@ -1018,9 +1028,9 @@ SELECT doc_id, n_tokens,
        round(stop_hits / n_tokens, 6) AS stop_ratio,
        round(nchars / n_tokens, 6) AS avg_token_len,
        round(alpha / nchars, 6) AS alpha_ratio,
-       round(0.4 * (stop_hits / n_tokens)
-             + 0.3 * least(nchars / n_tokens / 8.0, 1.0)
-             + 0.3 * (alpha / nchars), 6) AS quality
+       floor((0.4 * (stop_hits / n_tokens)
+              + 0.3 * least(nchars / n_tokens / 8.0, 1.0)
+              + 0.3 * (alpha / nchars)) * 1000000.0 + 0.5) / 1000000.0 AS quality
 FROM base
 """
 
