@@ -322,6 +322,35 @@ GROUP BY 1, 2
 """
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to a wide per-user activity profile (one column per event
+    type) — the feature-table shape ML training joins against. Uses
+    Spark's native pivot WITH the value list supplied explicitly: an
+    unlisted pivot costs an extra distinct-scan job to discover values
+    and produces a nondeterministic column order at 10^12 rows."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count("event_id"))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in _PIVOT_TYPES
+            ],
+        )
+    )
+
+
+SQL_EVENTS_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _PIVOT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
@@ -329,4 +358,5 @@ QUERIES: dict[str, tuple] = {
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
 }
