@@ -282,7 +282,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead). The probe shingle set is broadcast (benchmarks are tiny
     next to a 100 TB corpus), so the only shuffle is the per-doc hit
     count; the corpus is never self-joined."""
-    sh = _shingles(spark, sf_dir)
+    return _q_decontaminate_from(spark, sf_dir, _shingles(spark, sf_dir))
+
+
+def _q_decontaminate_from(
+    spark: SparkSession, sf_dir: str, sh: DataFrame
+) -> DataFrame:
     probe = (
         sh.where(F.col("doc_id") % _PROBE_MOD == 0)
         .select("shingle")
@@ -725,7 +730,9 @@ FROM flags
 # ---------------------------------------------------------------------------
 
 
-def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_prep(
+    spark: SparkSession, sf_dir: str, storage_level=None
+) -> DataFrame:
     """The composed corpus-side product query: what a pretraining run
     actually consumes. Decontaminate (drop probe docs and anything
     sharing a probe 3-gram) -> stratified sample (per-source rates) ->
@@ -736,11 +743,15 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition of already-proven pieces, but registered as ONE query so
     cross-stage drift (e.g. dedup electing a canonical that sampling
     removed) cannot hide between piecewise proofs — the corpus-side
-    twin of ``dataset_sample``."""
-    from .queries_corpus import _NORM_SPARK
+    twin of ``dataset_sample``. ``storage_level`` persists the shingle
+    relation that both decontamination sides (probe set + corpus hits)
+    re-derive when left as a pure transformation — same single-scan
+    knob as dataset_samples (driver compares the pure form)."""
+    from .queries_corpus import _NORM_SPARK, _maybe_persist
 
     d = _docs(spark, sf_dir).where(F.col("doc_id") % _PROBE_MOD != 0)
-    hits = q_decontaminate(spark, sf_dir).where(F.col("contaminated"))
+    sh = _maybe_persist(_shingles(spark, sf_dir), storage_level)
+    hits = _q_decontaminate_from(spark, sf_dir, sh).where(F.col("contaminated"))
     clean = d.join(hits.select("doc_id"), "doc_id", "left_anti")
     sampled = clean.where(
         _hex15(F.col("doc_id").cast("string")) % 10000

@@ -62,3 +62,20 @@ def test_reliable_checkpoint_requires_dir_and_matches_local(spark):
         ]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_corpus_prep_persist_knob(spark, sf_dir):
+    """The storage_level knob must not change results (driver compares
+    the pure form; callers opt in for the single-scan shingle shape)."""
+    from ocr_dataset_builder_spark.queries_quality import q_corpus_prep
+
+    pure = sorted(map(tuple, q_corpus_prep(spark, sf_dir).collect()))
+    knob = sorted(
+        map(
+            tuple,
+            q_corpus_prep(
+                spark, sf_dir, storage_level="MEMORY_AND_DISK"
+            ).collect(),
+        )
+    )
+    assert pure == knob
