@@ -351,6 +351,73 @@ SQL_EVENTS_PIVOT = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY user_id"
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user (signup -> click -> purchase):
+    each step counts only if it happens AFTER the previous step's first
+    occurrence — the order predicate is what separates a funnel from
+    three filtered counts. One conditional aggregation over one scan;
+    epoch seconds keep the timestamps engine-portable."""
+    e = _events(spark, sf_dir)
+    es = F.col("ts").cast("timestamp").cast("long")
+    base = e.select("user_id", "event_type", es.alias("es"))
+    agg = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("es"))).alias("t_signup"),
+        *[
+            F.collect_list(
+                F.when(F.col("event_type") == t, F.col("es"))
+            ).alias(f"_ts_{t}")
+            for t in ("click", "purchase")
+        ],
+    )
+    # first click AFTER signup; first purchase AFTER that click
+    t_click = F.array_min(
+        F.filter("_ts_click", lambda x: x >= F.col("t_signup"))
+    )
+    agg = agg.withColumn("t_click", t_click)
+    t_purchase = F.array_min(
+        F.filter("_ts_purchase", lambda x: x >= F.col("t_click"))
+    )
+    agg = agg.withColumn("t_purchase", t_purchase)
+    return agg.select(
+        "user_id",
+        "t_signup",
+        "t_click",
+        "t_purchase",
+        F.col("t_signup").isNotNull().alias("reached_signup"),
+        F.col("t_click").isNotNull().alias("reached_click"),
+        F.col("t_purchase").isNotNull().alias("converted"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """WITH base AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN es END) AS t_signup,
+         list(CASE WHEN event_type = 'click' THEN es END) AS ts_click,
+         list(CASE WHEN event_type = 'purchase' THEN es END) AS ts_purchase
+  FROM base GROUP BY 1
+),
+steps AS (
+  SELECT user_id, t_signup,
+         list_min(list_filter(ts_click, x -> x IS NOT NULL AND x >= t_signup)) AS t_click
+  FROM agg
+),
+steps2 AS (
+  SELECT s.user_id, s.t_signup, s.t_click,
+         list_min(list_filter(a.ts_purchase, x -> x IS NOT NULL AND x >= s.t_click)) AS t_purchase
+  FROM steps s JOIN agg a ON a.user_id = s.user_id
+)
+SELECT user_id, t_signup, t_click, t_purchase,
+       t_signup IS NOT NULL AS reached_signup,
+       t_click IS NOT NULL AS reached_click,
+       t_purchase IS NOT NULL AS converted
+FROM steps2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
@@ -359,4 +426,5 @@ QUERIES: dict[str, tuple] = {
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
 }
