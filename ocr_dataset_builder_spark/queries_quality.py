@@ -987,6 +987,69 @@ WHERE {any_tf} > 0
 SQL_BM25_SCORE = _bm25_sql()
 
 
+# ---------------------------------------------------------------------------
+# dedup_cross_source — which sources leak near-duplicate content
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability at the source level: verified near-dup pairs
+    rolled up by (source_a, source_b) — the table that tells a corpus
+    owner WHICH feeds are mirroring each other (and how much of the
+    duplication is intra-source). Joins the LSH->verify candidate pairs
+    to the tiny (doc_id, source) projection; the pair relation is the
+    small side at any scale, so both joins broadcast it onward."""
+    from .queries_corpus import q_minhash_jaccard_verify
+
+    pairs = q_minhash_jaccard_verify(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("source", "source_a"),
+                   pairs["a_id"] == src["doc_id"]).drop("doc_id")
+    )
+    src_b = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("_b"), F.col("source").alias("source_b")
+    )
+    j = j.join(src_b, j["b_id"] == src_b["_b"]).drop("_b")
+    lo = F.least("source_a", "source_b")
+    hi = F.greatest("source_a", "source_b")
+    return (
+        j.select(
+            lo.alias("source_lo"),
+            hi.alias("source_hi"),
+            (F.col("source_a") == F.col("source_b")).alias("intra"),
+            "jaccard",
+        )
+        .groupBy("source_lo", "source_hi", "intra")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+from .queries_corpus import SQL_MINHASH_JACCARD_VERIFY as _VERIFY_SQL
+
+SQL_DEDUP_CROSS_SOURCE = f"""WITH pairs AS ({_VERIFY_SQL}),
+j AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi,
+         da.source = db.source AS intra,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.a_id
+  JOIN documents db ON db.doc_id = p.b_id
+)
+SELECT source_lo, source_hi, intra,
+       count(*) AS n_pairs,
+       round(min(jaccard), 6) AS min_jaccard,
+       round(max(jaccard), 6) AS max_jaccard
+FROM j
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -1000,4 +1063,5 @@ QUERIES: dict[str, tuple] = {
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
     "bm25_score": (q_bm25_score, SQL_BM25_SCORE),
+    "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
 }
