@@ -37,7 +37,7 @@ _PRIORITY = [
     "quality_repetition", "pii_scrub", "decontaminate",
     "mixture_stats", "stratified_sample", "doc_chunking", "pack_blocks",
     "corpus_prep", "quality_filter", "unigram_logprob", "events_asof_join", "events_range_join", "events_rollup", "distinct_sketch", "bm25_score", "kmeans_step", "ann_recall",
-    "ann_lsh_bucket", "embedding_near_dup_lsh", "events_json_props", "events_pivot", "events_funnel", "dedup_cross_source",
+    "ann_lsh_bucket", "embedding_near_dup_lsh", "events_json_props", "events_pivot", "events_funnel", "dedup_cross_source", "skew_stats",
     # the flagship chain stays inside any plausible budget
     "flagship_extract", "span_seq", "ocr_clean", "media_frames",
 ]

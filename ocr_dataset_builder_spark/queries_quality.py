@@ -1050,6 +1050,59 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# skew_stats — per-key distribution diagnostics for the salt decision
+# ---------------------------------------------------------------------------
+
+_SKEW_TOP = 10
+
+
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: the heaviest doc_id keys by frame
+    count with their share of the corpus — the table you read before
+    choosing the salt factor for the W6 reassembly (a key holding >1/N
+    of the rows caps the speedup of an N-way shuffle). One partial-agg
+    shuffle; the top-k window runs over the already-aggregated per-key
+    counts."""
+    from .queries_joins import _media_seq
+
+    counts = (
+        _media_seq(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    total = counts.agg(F.sum("n_frames").alias("_t"))
+    w = Window.orderBy(F.col("n_frames").desc(), F.col("doc_id").asc())
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _SKEW_TOP)
+        .select(
+            "rnk",
+            "doc_id",
+            "n_frames",
+            F.round(F.col("n_frames") / F.col("_t"), 6).alias("corpus_frac"),
+        )
+    )
+
+
+def _skew_sql() -> str:
+    from .queries_joins import _with
+
+    return _with() + f"""
+, counts AS (
+  SELECT doc_id, count(*) AS n_frames FROM media_rows GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_frames) AS BIGINT) AS t FROM counts)
+SELECT rnk, doc_id, n_frames, corpus_frac FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_frames DESC, doc_id ASC) AS INT) AS rnk,
+         doc_id, n_frames,
+         round(n_frames / tot.t, 6) AS corpus_frac
+  FROM counts, tot
+) WHERE rnk <= {_SKEW_TOP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -1064,4 +1117,5 @@ QUERIES: dict[str, tuple] = {
     "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
     "bm25_score": (q_bm25_score, SQL_BM25_SCORE),
     "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
+    "skew_stats": (q_skew_stats, _skew_sql()),
 }
