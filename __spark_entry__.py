@@ -25,6 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # appeared in a CORRECTNESS_r* file come first, then this round's new
 # queries, then the long-green rest.
 _PRIORITY = [
+    # the ONLY query with zero driver rows across r1-r3 (registered round
+    # 3, fell past the 50-query rotation cut) — head of the line
+    "tfidf_top_terms",
+    # new in round 4
+    "substr_dup_spans", "dedup_substrings", "kmeans_train",
+    "ann_ivf_trained", "resize_checksum", "decontaminate_join",
     # crosscheck-only in round 2 (no driver row yet)
     "refine_frames", "refine_summary", "multimodal_meta", "augment_assign",
     "resize_dims", "media_sizes", "events_hourly", "events_sessions",
@@ -52,6 +58,7 @@ def _registry() -> dict[str, tuple]:
         "queries_dataset",
         "queries_joins",
         "queries_corpus",
+        "queries_substr",
         "queries_refine",
         "queries_events",
         "queries_html",

@@ -49,7 +49,12 @@ def main() -> None:
     from ocr_dataset_builder_spark import queries_spans as qs
     from ocr_dataset_builder_spark import queries_joins as qj
 
-    spark = get_spark("odb-bench", cores=CPUS, shuffle_partitions=2 * CPUS)
+    spark = get_spark(
+        "odb-bench",
+        cores=CPUS,
+        shuffle_partitions=2 * CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     flat_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -156,24 +161,41 @@ def main() -> None:
     timed("bm25_score", qq.q_bm25_score(spark, SF_DIR))
     timed("kmeans_step", qc.q_kmeans_step(spark, SF_DIR))
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_span_extraction_wall_sec",
-                "value": flagship_sec,
-                "unit": "sec",
-                "queries": timings,
-                "queries_mad": dispersion,
-                "runs_per_query": RUNS,
-                "stat": STAT,
-                "sf": SF_DIR,
-                "cpus": CPUS,
-                "replication": REP,
-                "bench_docs": bench_docs,
-                "docs_per_sec": round(bench_docs / flagship_sec, 1),
-            }
-        )
+    from ocr_dataset_builder_spark import queries_substr as qsub
+
+    timed("substr_dup_spans", qsub.q_substr_dup_spans(spark, SF_DIR))
+    timed("dedup_substrings", qsub.q_dedup_substrings(spark, SF_DIR))
+
+    result = json.dumps(
+        {
+            "metric": "e2e_span_extraction_wall_sec",
+            "value": flagship_sec,
+            "unit": "sec",
+            "queries": timings,
+            "queries_mad": dispersion,
+            "runs_per_query": RUNS,
+            "stat": STAT,
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "replication": REP,
+            "bench_docs": bench_docs,
+            "docs_per_sec": round(bench_docs / flagship_sec, 1),
+        }
     )
+    # The driver parses the LAST stdout line as JSON; round-3's record had
+    # parsed=null because Spark progress output interleaved with it. So:
+    # stop Spark first (no more JVM writers on the fd), persist the result
+    # to a file as a durable fallback, then emit it as the sole final line.
+    spark.stop()
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"),
+    )
+    with open(out_path, "w") as fh:
+        fh.write(result + "\n")
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(result, flush=True)
 
 
 if __name__ == "__main__":

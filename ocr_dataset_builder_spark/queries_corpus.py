@@ -146,6 +146,14 @@ FROM norm_docs
 # ---------------------------------------------------------------------------
 
 _JACCARD_MIN = 0.02
+# Posting-list cap: a stopword-like shingle shared by n docs expands to
+# C(n,2) pairs — at 10^6 docs that is 5*10^11 rows from ONE key. Same
+# pattern as _LSH_BUCKET_CAP: oversized postings are dropped (in lockstep
+# with the oracle), below the cap the pair set is exact. Sized so the
+# sf0.1 bench corpus is entirely below it (verified by the capped==uncapped
+# equality test) — the cap exists to make the baseline un-footgunnable at
+# scales it was never meant for.
+_POSTING_CAP = 256
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,12 +165,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Even the all-pairs form avoids a self-join: each shingle's posting
     list is grouped once (ONE shuffle) and co-occurring pairs expand
     in-bucket — the same melt-expand shape as the LSH paths, ~2x faster
-    than the equi-join at bench scale and identical output."""
+    than the equi-join at bench scale and identical output. Posting
+    lists above _POSTING_CAP are dropped (mirrored in the oracle), so
+    even the baseline has no uncapped C(n,2) expansion."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     postings = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
-    ).where(F.size("ds") > 1)
+    ).where((F.size("ds") > 1) & (F.size("ds") <= _POSTING_CAP))
     pairs = (
         _fan_out(spark, postings)
         .select(
@@ -194,9 +204,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+eligible AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) BETWEEN 2 AND {_POSTING_CAP}
+),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN eligible e ON e.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT a_id, b_id,
@@ -1701,13 +1716,27 @@ GROUP BY label
 
 _COS_DUP_MIN = 0.35
 _EMB_BUCKET_CAP = 4096  # max vectors carried into one in-bucket expansion
+# All-pairs guard: the recall baseline is O(n^2) BY CONTRACT; refuse to
+# even build the plan past this many vectors instead of silently launching
+# a 10^12-pair job. Loud failure > silent truncation — the scale path
+# (q_embedding_near_dup_lsh) has no such bound.
+_EMB_ALLPAIRS_MAX = 200_000
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the ALL-PAIRS recall
-    baseline (bounded inputs only). The default scale path is
-    q_embedding_near_dup_lsh: same cosine verification, candidates from
-    hyperplane-LSH buckets instead of the full cross product."""
+    baseline (bounded inputs only; raises past _EMB_ALLPAIRS_MAX
+    vectors). The default scale path is q_embedding_near_dup_lsh: same
+    cosine verification, candidates from hyperplane-LSH buckets instead
+    of the full cross product."""
+    n_vecs = _emb(spark, sf_dir).count()
+    if n_vecs > _EMB_ALLPAIRS_MAX:
+        raise ValueError(
+            f"q_embedding_near_dup is the all-pairs recall baseline; "
+            f"{n_vecs} vectors > _EMB_ALLPAIRS_MAX={_EMB_ALLPAIRS_MAX} "
+            f"would expand to ~{n_vecs * (n_vecs - 1) // 2:.2e} pairs. "
+            "Use q_embedding_near_dup_lsh (bucketed) at this scale."
+        )
     elem = _elem(spark, sf_dir)
     norms = _norms(elem)
     a = elem.select(F.col("vec_id").alias("a_id"), "pos", F.col("x").alias("ax"))

@@ -156,12 +156,21 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# markers pre-aggregated to ONE row per (user_id, ts): DuckDB's ASOF
+# tie-breaking among equal m.ts is unspecified, while the Spark side's
+# last-in-(ts, event_id)-order == max(event_id) per timestamp — the
+# pre-agg makes both engines deterministic and identical even if the
+# generator ever emits duplicate marker timestamps for a user
 SQL_EVENTS_ASOF_JOIN = """
 SELECT e.event_id, e.user_id,
        m.event_id AS last_error_id,
        date_diff('microsecond', m.ts, e.ts) AS staleness_us
 FROM (SELECT * FROM events WHERE event_type <> 'error') e
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') m
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, ts
+) m
   ON e.user_id = m.user_id AND e.ts >= m.ts
 """
 

@@ -1072,11 +1072,18 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_frames"))
     )
     total = counts.agg(F.sum("n_frames").alias("_t"))
+    # top-k via orderBy().limit(): compiles to TakeOrderedAndProject —
+    # each partition keeps its local top-k, the driver merges k*P rows.
+    # A row_number window would instead sort the WHOLE per-key counts
+    # relation on one partition, which at 10^9 distinct docs is the
+    # single-machine bottleneck this diagnostic exists to find.
+    top = counts.orderBy(
+        F.col("n_frames").desc(), F.col("doc_id").asc()
+    ).limit(_SKEW_TOP)
     w = Window.orderBy(F.col("n_frames").desc(), F.col("doc_id").asc())
     return (
-        counts.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= _SKEW_TOP)
         .select(
             "rnk",
             "doc_id",

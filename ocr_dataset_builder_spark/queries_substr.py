@@ -1,0 +1,246 @@
+"""Substring-level exact deduplication — repeated token windows ACROSS
+documents (doc-level exact/near dedup lives in queries_corpus).
+
+The modern pretraining-dedup standard (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better", arXiv:2107.06499) removes any
+>=50-token substring that appears more than once in the corpus, found via
+a suffix array. A suffix array is a single-machine structure; the
+Spark-native equivalent is fixed-width token-window fingerprinting:
+
+1. tokenize each document once; slide a width-W window with stride 1
+   (positional n-grams built from zip_with over shifted slices — each
+   slice evaluates once per row, no O(tokens^2) re-split);
+2. fingerprint each window with the engine-portable 60-bit md5 prefix —
+   the shuffle carries (doc_id, start, int64), never the window text;
+3. a window is *duplicated* iff its fingerprint occurs >=2 times in the
+   whole corpus (within- or cross-document — both are training-data
+   redundancy). Partial-agg groupBy on the fingerprint (map-side
+   combine), then a semi-join of windows against the duplicated
+   fingerprints (AQE broadcasts the dup set when it is small);
+4. maximal repeat spans per document are runs of CONSECUTIVE duplicated
+   window starts (gaps-and-islands: start - row_number is constant
+   within a run), emitted as (doc_id, span_start, span_end, n_windows,
+   span_tokens);
+5. removal stats merge the spans' token coverage per document as a true
+   interval union (a running-max-end window chain), so overlapping spans
+   are never double-counted.
+
+Every stage is a linear shuffle on a compact key: window rows are
+O(total_tokens) with ~28 bytes each, the fingerprint groupBy is a
+partial-agg count, and the island/union windows partition by doc_id —
+the same key the corpus is already bucketed by at rest. Nothing here is
+quadratic in corpus size, which is the whole point vs. the pairwise
+near-dup paths. Window width W trades recall for the fingerprint-table
+size exactly as in the paper; the registered query uses W=8 because the
+synthetic docs are short — a production run sets W=50.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries_corpus import _NORM_CTE, _hex15, _norm_docs
+
+_SUBSTR_W = 8  # token-window width (50 in production; docs here are short)
+
+
+def positional_ngrams(t: F.Column, n: int) -> F.Column:
+    """Word n-grams in start order WITH multiplicity — element i (0-based)
+    is the window starting at token i. Same shifted-slice zip_with shape
+    as queries_corpus.word_ngrams, minus the distinct."""
+    ln = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, ln)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, k + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return grams
+
+
+def _windows(
+    spark: SparkSession, sf_dir: str, w: int = _SUBSTR_W
+) -> DataFrame:
+    """(doc_id, start0, fp): one row per width-w token window."""
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    return nd.select(
+        "doc_id",
+        F.posexplode(positional_ngrams(F.col("t"), w)).alias("start0", "gram"),
+    ).select("doc_id", "start0", _hex15(F.col("gram")).alias("fp"))
+
+
+def _dup_windows(spark: SparkSession, sf_dir: str, w: int = _SUBSTR_W) -> DataFrame:
+    wins = _windows(spark, sf_dir, w)
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("fp")
+    )
+    return wins.join(dup_fps, "fp", "leftsemi")
+
+
+def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-substring spans: for every document, each maximal
+    run of consecutive duplicated window starts, as
+    (doc_id, span_start, span_end, n_windows, span_tokens) with token
+    positions 0-based inclusive. span_end = last_start + W - 1."""
+    dup = _dup_windows(spark, sf_dir)
+    w_doc = Window.partitionBy("doc_id").orderBy("start0")
+    runs = dup.withColumn(
+        "grp", F.col("start0") - F.row_number().over(w_doc)
+    )
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("start0").cast("int").alias("span_start"),
+        (F.max("start0") + F.lit(_SUBSTR_W - 1)).cast("int").alias("span_end"),
+        F.count("*").alias("n_windows"),
+        (F.max("start0") + F.lit(_SUBSTR_W) - F.min("start0"))
+        .cast("int")
+        .alias("span_tokens"),
+    ).drop("grp")
+
+
+_WINS_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM norm_docs
+),
+wins_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {_SUBSTR_W} + 1, 0) + 1),
+           i -> struct_pack(
+             start0 := i - 1,
+             fp := ('0x' || substr(md5(array_to_string(t[i:i+{_SUBSTR_W}-1], ' ')), 1, 15))::BIGINT
+           ))) AS win
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, CAST(win.start0 AS INT) AS start0, win.fp AS fp FROM wins_raw
+),
+dup AS (
+  SELECT doc_id, start0 FROM (
+    SELECT doc_id, start0, count(*) OVER (PARTITION BY fp) AS occ FROM wins
+  ) WHERE occ >= 2
+)""".strip()
+
+_SPANS_CTE = f""",
+spans AS (
+  SELECT doc_id,
+         CAST(min(start0) AS INT) AS span_start,
+         CAST(max(start0) + {_SUBSTR_W - 1} AS INT) AS span_end,
+         count(*) AS n_windows,
+         CAST(max(start0) + {_SUBSTR_W} - min(start0) AS INT) AS span_tokens
+  FROM (
+    SELECT doc_id, start0,
+           start0 - row_number() OVER (PARTITION BY doc_id ORDER BY start0) AS grp
+    FROM dup
+  )
+  GROUP BY doc_id, grp
+)"""
+
+SQL_SUBSTR_DUP_SPANS = f"""WITH {_NORM_CTE},
+{_WINS_CTE}{_SPANS_CTE}
+SELECT doc_id, span_start, span_end, n_windows, span_tokens FROM spans
+"""
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal stats for substring dedup: per document, total tokens,
+    tokens covered by the UNION of repeat spans (overlap-safe interval
+    merge), span count, and the removable fraction. Every document
+    appears (zero-covered docs included) so the output is the corpus
+    report a dedup run signs off on."""
+    spans = q_substr_dup_spans(spark, sf_dir)
+    w_ord = Window.partitionBy("doc_id").orderBy("span_start")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    merged = (
+        spans.withColumn("prev_max_end", F.max("span_end").over(w_prev))
+        .withColumn(
+            "new_iv",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("span_start") > F.col("prev_max_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("iv", F.sum("new_iv").over(w_ord))
+        .groupBy("doc_id", "iv")
+        .agg(
+            (F.max("span_end") - F.min("span_start") + 1).alias("iv_tokens"),
+            F.count("*").alias("iv_spans"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("iv_tokens").alias("dup_tokens"),
+            F.sum("iv_spans").alias("n_spans"),
+        )
+    )
+    nd = _norm_docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("norm", " ")).cast("bigint").alias("n_tokens")
+    )
+    # removable fraction in integer parts-per-million, computed with
+    # integer half-up division — float round(x, 6) lands on engine-
+    # dependent ties (Spark rounds the shortest decimal repr, DuckDB the
+    # binary value); (2*a*10^6 + b) div (2*b) is exact in both
+    return (
+        nd.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+        .withColumn(
+            "frac_dup_ppm",
+            F.expr("(2 * dup_tokens * 1000000 + n_tokens) div (2 * n_tokens)"),
+        )
+    )
+
+
+SQL_DEDUP_SUBSTRINGS = f"""WITH {_NORM_CTE},
+{_WINS_CTE}{_SPANS_CTE},
+ivs AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN prev_max_end IS NULL OR span_start > prev_max_end
+              THEN 1 ELSE 0 END AS new_iv
+  FROM (
+    SELECT doc_id, span_start, span_end,
+           max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_end
+    FROM spans
+  )
+),
+merged AS (
+  SELECT doc_id, sum(iv_tokens) AS dup_tokens, sum(iv_spans) AS n_spans
+  FROM (
+    SELECT doc_id, iv,
+           max(span_end) - min(span_start) + 1 AS iv_tokens,
+           count(*) AS iv_spans
+    FROM (
+      SELECT doc_id, span_start, span_end,
+             sum(new_iv) OVER (PARTITION BY doc_id ORDER BY span_start) AS iv
+      FROM ivs
+    )
+    GROUP BY doc_id, iv
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, dup_tokens, n_spans,
+       CAST((2 * dup_tokens * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT)
+         AS frac_dup_ppm
+FROM (
+  SELECT n.doc_id,
+         CAST(len(string_split(n.norm, ' ')) AS BIGINT) AS n_tokens,
+         CAST(coalesce(m.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         CAST(coalesce(m.n_spans, 0) AS BIGINT) AS n_spans
+  FROM norm_docs n
+  LEFT JOIN merged m ON m.doc_id = n.doc_id
+)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "substr_dup_spans": (q_substr_dup_spans, SQL_SUBSTR_DUP_SPANS),
+    "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
+}

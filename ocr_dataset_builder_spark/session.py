@@ -54,6 +54,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
     active = SparkSession.getActiveSession()
     if active is not None:
         return active

@@ -46,25 +46,53 @@ def export_sharded(
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Manifest of an export: one row per shard with its partition
-    value, row count, and byte size — derived from the files actually
-    committed (read via the parquet footer metadata column, no data
-    scan)."""
-    files = spark.read.parquet(path).select(
-        "*", "_metadata.file_path", "_metadata.file_size"
-    )
-    agg = files.groupBy("file_path", "file_size").count()
+    value, row count, and byte size — derived from parquet FOOTER
+    metadata only. The shard list is one filesystem listing; each
+    shard contributes one footer read (num_rows lives in the footer)
+    executed ON EXECUTORS via mapInPandas over the path list. Total
+    cost is O(shards), never O(rows) — validate_export on a petabyte
+    export reads footers, not the dataset. (Listing uses os.walk, so
+    posix/local mounts; a cloud-store deployment swaps in its lister.)"""
+    import os as _os
 
     from pyspark.sql import functions as F
 
-    # file_path is a URI (file://... or s3://...); the layout tail is
-    # .../<part_col>=<value>/<shard>.parquet regardless of scheme
-    return agg.select(
+    shard_paths = []
+    for root, _dirs, files in _os.walk(path):
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith("_"):
+                shard_paths.append(_os.path.join(root, name))
+    paths_df = spark.createDataFrame(
+        [(p,) for p in sorted(shard_paths)], "file_path string"
+    )
+
+    def _read_footers(batches):
+        import os
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            rows = [
+                (p, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
+                for p in batch["file_path"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["file_path", "n_rows", "n_bytes"]
+            )
+
+    footers = paths_df.repartition(
+        max(1, min(len(shard_paths), spark.sparkContext.defaultParallelism))
+    ).mapInPandas(
+        _read_footers, "file_path string, n_rows bigint, n_bytes bigint"
+    )
+    # the layout tail is .../<part_col>=<value>/<shard>.parquet
+    return footers.select(
         F.regexp_extract("file_path", r"/([^/]+=[^/]+)/[^/]*$", 1).alias(
             "partition"
         ),
         F.regexp_extract("file_path", r"([^/]+)$", 1).alias("shard"),
-        F.col("count").alias("n_rows"),
-        F.col("file_size").alias("n_bytes"),
+        "n_rows",
+        "n_bytes",
     )
 
 

@@ -67,13 +67,34 @@ def _batch_processor(output_dir: str, run_id: str, processed: dict):
     return _process
 
 
+def _checkpoint_run_prefix(checkpoint_dir: str, run_id: str) -> str:
+    """The batch run prefix is OWNED by the stream checkpoint, not by the
+    caller: batch_ids are only unique within one checkpoint lineage, and
+    the two watch modes share the checkpoint. If each mode used its own
+    run_id ('daemon0' vs 'stream0'), a batch re-delivered after a crash
+    under the OTHER mode would stage '<other>-b<N>' instead of
+    overwriting '<orig>-b<N>' and commit the same docs twice. So the
+    first mode to create the checkpoint persists its prefix beside it,
+    and every later invocation — either mode — reuses the stored one."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "RUN_PREFIX")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return fh.read().strip()
+    with open(marker, "w") as fh:
+        fh.write(run_id)
+    return run_id
+
+
 def _watch_stream(spark: SparkSession, input_dir: str, output_dir: str, run_id: str):
     processed = {"n": 0}
+    checkpoint_dir = os.path.join(output_dir, "_stream_checkpoint")
+    prefix = _checkpoint_run_prefix(checkpoint_dir, run_id)
     writer = (
         spark.readStream.schema(NESTED_SCHEMA)
         .parquet(input_dir)
-        .writeStream.foreachBatch(_batch_processor(output_dir, run_id, processed))
-        .option("checkpointLocation", os.path.join(output_dir, "_stream_checkpoint"))
+        .writeStream.foreachBatch(_batch_processor(output_dir, prefix, processed))
+        .option("checkpointLocation", checkpoint_dir)
     )
     return writer, processed
 

@@ -1,0 +1,135 @@
+"""Substring-level dedup (queries_substr): hand-built corpora with known
+repeat structure pin the span semantics — cross-doc repeats, within-doc
+repeats, overlap-safe interval union in the removal stats — and the
+DuckDB oracle is exercised on the same fixture (the driver only runs it
+at the registered sf dirs)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from ocr_dataset_builder_spark import queries_substr as qs
+from conftest import rows_set
+
+# token alphabets are disjoint per scenario so no accidental window
+# collisions across docs
+_DOCS = [
+    # A/B share the 10-token run a0..a9 (W=8 -> 3 shared windows each)
+    (1, " ".join(f"a{i}" for i in range(10))),
+    (2, "zz " + " ".join(f"a{i}" for i in range(10))),
+    # C repeats an 8-token phrase twice WITHIN the doc (separated by a
+    # unique token, so the two occurrences are separate islands)
+    (3, " ".join(f"c{i}" for i in range(8)) + " cx " + " ".join(f"c{i}" for i in range(8))),
+    # D unique: no spans
+    (4, " ".join(f"d{i}" for i in range(20))),
+    # E/F/G: E's windows at start 0 and start 2 are duplicated (via F
+    # resp. G) but start 1 is not -> two islands whose token coverage
+    # OVERLAPS ([0,7] and [2,9]) -> union = 10 tokens, not 16
+    (5, " ".join(f"e{i}" for i in range(10))),
+    (6, " ".join(f"e{i}" for i in range(8))),
+    (7, " ".join(f"e{i}" for i in range(2, 10))),
+]
+
+
+@pytest.fixture(scope="module")
+def substr_dir(spark):
+    tmp = tempfile.mkdtemp(prefix="odb_substr_")
+    rows = [
+        (doc_id, text, "en", "web", len(text)) for doc_id, text in _DOCS
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_substr_dup_spans_semantics(spark, substr_dir):
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["n_windows"],
+            r["span_tokens"],
+        )
+        for r in qs.q_substr_dup_spans(spark, substr_dir).collect()
+    }
+    # A: one maximal span covering all 10 tokens (3 consecutive windows)
+    assert spans[(1, 0, 9)] == (3, 10)
+    # B: same run shifted by the zz prefix
+    assert spans[(2, 1, 10)] == (3, 10)
+    # C: two islands, one per occurrence of the repeated phrase
+    assert spans[(3, 0, 7)] == (1, 8)
+    assert spans[(3, 9, 16)] == (1, 8)
+    # E: two islands with overlapping coverage (starts 0 and 2)
+    assert spans[(5, 0, 7)] == (1, 8)
+    assert spans[(5, 2, 9)] == (1, 8)
+    # F and G each consist of exactly one duplicated window
+    assert spans[(6, 0, 7)] == (1, 8)
+    assert spans[(7, 0, 7)] == (1, 8)
+    # D has no spans; no other spans exist
+    assert len(spans) == 8
+
+
+def test_dedup_substrings_interval_union(spark, substr_dir):
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"], r["frac_dup_ppm"])
+        for r in qs.q_dedup_substrings(spark, substr_dir).collect()
+    }
+    # E: spans [0,7]+[2,9] must merge to 10 covered tokens, NOT 16
+    assert stats[5] == (10, 10, 2, 1000000)
+    # C: disjoint islands sum (8+8 of 17 tokens)
+    assert stats[3] == (17, 16, 2, 941176)
+    # D: zero coverage but still present in the report
+    assert stats[4] == (20, 0, 0, 0)
+    assert stats[1] == (10, 10, 1, 1000000)
+    assert len(stats) == len(_DOCS)
+
+
+def test_oracle_parity_on_fixture(spark, substr_dir):
+    """The DuckDB oracle reproduces the Spark result on this fixture —
+    the driver only compares them at the registered sf dirs, which do
+    not exercise the overlap-merge edge deliberately built in here."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(substr_dir, 'documents.parquet')}/*.parquet'"
+    )
+    for fn, sql in (
+        (qs.q_substr_dup_spans, qs.SQL_SUBSTR_DUP_SPANS),
+        (qs.q_dedup_substrings, qs.SQL_DEDUP_SUBSTRINGS),
+    ):
+        sdf = fn(spark, substr_dir)
+        cols = sorted(sdf.columns)
+        spark_rows = rows_set(
+            [tuple(r[c] for c in cols) for r in sdf.collect()]
+        )
+        res = con.execute(sql).fetchdf()
+        assert sorted(res.columns.tolist()) == cols
+        duck_rows = rows_set(
+            [tuple(r) for r in res[cols].itertuples(index=False, name=None)]
+        )
+        assert spark_rows == duck_rows, f"oracle mismatch for {fn.__name__}"
+
+
+def test_posting_cap_equality_below_cap(spark, sf_dir):
+    """q_ngram_jaccard's posting-list cap is a pure guard at test scale:
+    capped and uncapped results are identical (max posting size << cap)."""
+    from ocr_dataset_builder_spark import queries_corpus as qc
+
+    capped = rows_set(
+        [tuple(r) for r in qc.q_ngram_jaccard(spark, sf_dir).collect()]
+    )
+    orig_cap = qc._POSTING_CAP
+    try:
+        qc._POSTING_CAP = 10**9
+        uncapped = rows_set(
+            [tuple(r) for r in qc.q_ngram_jaccard(spark, sf_dir).collect()]
+        )
+    finally:
+        qc._POSTING_CAP = orig_cap
+    assert capped == uncapped
