@@ -160,6 +160,7 @@ def main() -> None:
     timed("distinct_sketch", qq.q_distinct_sketch(spark, SF_DIR))
     timed("bm25_score", qq.q_bm25_score(spark, SF_DIR))
     timed("kmeans_step", qc.q_kmeans_step(spark, SF_DIR))
+    timed("kmeans_train", qc.q_kmeans_train(spark, SF_DIR))
 
     from ocr_dataset_builder_spark import queries_substr as qsub
 

@@ -1656,6 +1656,243 @@ FROM per p JOIN inert i ON i.cent_id = p.cent_id
 """
 
 
+_KM_ITERS = 3  # fixed iteration count -> deterministic, oracle-expressible
+_KM_MAX_ITERS = 64  # loud backstop for the tolerance-driven variant
+
+
+def _centroid_means(assign: DataFrame, e: DataFrame) -> DataFrame:
+    """New centroids from an assignment: per-(cent_id, dim) DECIMAL-exact
+    means rounded to 6 dp, re-assembled into dim-ordered arrays."""
+    dec = lambda c: F.round(c.cast("double"), 9).cast("decimal(25,9)")  # noqa: E731
+    vals = assign.join(e, "vec_id").select(
+        "cent_id", F.posexplode("v").alias("dim", "val")
+    )
+    per = vals.groupBy("cent_id", "dim").agg(
+        F.round(
+            F.sum(dec(F.col("val"))).cast("double") / F.count("*"), 6
+        ).alias("nv")
+    )
+    return per.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "nv"))),
+            lambda s: s["nv"],
+        ).alias("cv")
+    )
+
+
+def _assign_to(e: DataFrame, cent: DataFrame, rank_max: int) -> DataFrame:
+    d2_expr = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2 = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", d2_expr.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    return d2.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= rank_max
+    )
+
+
+def _trained_centroids(
+    spark: SparkSession, sf_dir: str, iters: int = _KM_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """(vectors, centroids-after-iters). The trainer loop is driver-side
+    — iterative algorithms are the one legitimate driver loop (same
+    pattern as near_dup_components): each iteration is a full
+    distributed Lloyd step, and the tiny centroid table is
+    localCheckpoint-ed per iteration so the lineage (and the broadcast
+    plan feeding the next step) stays flat instead of growing a
+    crossJoin chain the optimizer must re-expand every round."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    if iters > _KM_MAX_ITERS:
+        raise ValueError(
+            f"kmeans iters={iters} > backstop {_KM_MAX_ITERS}; "
+            "raise _KM_MAX_ITERS deliberately if you mean it"
+        )
+    for _ in range(iters):
+        assign = _assign_to(e, cent, 1).select("vec_id", "cent_id")
+        cent = _centroid_means(assign, e).localCheckpoint()
+    return e, cent
+
+
+def train_kmeans_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    tol: float = 1e-9,
+    max_iters: int = _KM_MAX_ITERS,
+) -> tuple[DataFrame, int, list[float]]:
+    """Tolerance-driven trainer for pipeline callers: Lloyd-iterate until
+    the largest centroid movement (squared L2 between a centroid and its
+    update) is <= tol, with the connected-components-style loud
+    iteration cap — silent non-convergence is how a nightly job burns a
+    cluster. Returns (centroids, n_iters, movement_history).
+
+    The registered q_kmeans_train uses a FIXED count instead because the
+    driver oracle must be deterministic and SQL-unrollable; this variant
+    is the production entry point and is pinned by pytest against the
+    fixed-count path (same centroids when it converges in <= _KM_ITERS)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    history: list[float] = []
+    for it in range(1, max_iters + 1):
+        assign = _assign_to(e, cent, 1).select("vec_id", "cent_id")
+        new_cent = _centroid_means(assign, e).localCheckpoint()
+        move_expr = F.aggregate(
+            F.zip_with("cv", "ncv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        moved = (
+            cent.join(
+                new_cent.select(
+                    "cent_id", F.col("cv").alias("ncv")
+                ),
+                "cent_id",
+            )
+            .select(move_expr.alias("m"))
+            .agg(F.max("m").alias("worst"))
+            .collect()[0]["worst"]
+        )
+        history.append(float(moved if moved is not None else 0.0))
+        cent = new_cent
+        if history[-1] <= tol:
+            return cent, it, history
+    raise RuntimeError(
+        f"k-means did not converge in {max_iters} iterations "
+        f"(last movement {history[-1]:.3e} > tol {tol:.1e}); raise "
+        "max_iters or tol deliberately"
+    )
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed k-means trainer: _KM_ITERS full Lloyd iterations
+    (assign -> decimal-exact means, the q_kmeans_step body) from the
+    deterministic seed centroids, then the FINAL assignment of every
+    vector against the trained centroids — (vec_id, cent_id, d2).
+
+    Fixed iteration count keeps the run deterministic and the DuckDB
+    oracle expressible as an unrolled CTE chain (the oracle re-derives
+    all three iterations from scratch — a genuinely independent
+    recomputation, not a replay). Clusters that lose all members simply
+    drop out of the next round's centroid table in both engines.
+    Scale: per iteration ONE broadcast crossJoin + in-row distance fold
+    + one (cent_id, dim) partial-agg shuffle — identical to
+    q_kmeans_step; the loop multiplies wall-clock, never state."""
+    e, cent = _trained_centroids(spark, sf_dir)
+    return _assign_to(e, cent, 1).select(
+        "vec_id",
+        "cent_id",
+        F.round(F.col("d2").cast("double"), 4).alias("d2"),
+    )
+
+
+_KM_D2_TRAINED_SQL = """list_reduce(
+           list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])),
+           (x, y) -> x + y)"""
+
+
+def _kmeans_train_cte(iters: int = _KM_ITERS) -> str:
+    """Unrolled Lloyd iterations as a CTE chain: cent0 = seeds;
+    for i in 1..iters: a_i = assign vs cent_{i-1}, cent_i = means."""
+    parts = [
+        f"""cent0 AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_KM_D2_TRAINED_SQL} ASC, c.cent_id ASC) AS rnk
+    FROM embeddings e CROSS JOIN cent{i - 1} c
+  ) WHERE rnk = 1
+),
+p{i} AS (
+  SELECT a.cent_id, u.u.dim AS dim,
+         round(CAST(sum(CAST(round(u.u.val, 9) AS DECIMAL(25,9))) AS DOUBLE)
+               / count(*), 6) AS nv
+  FROM (
+    SELECT e.vec_id,
+           unnest(list_transform(range(1, len(e.embedding) + 1),
+                  i -> {{'dim': CAST(i - 1 AS INT),
+                         'val': CAST(e.embedding[i] AS DOUBLE)}})) AS u
+    FROM embeddings e) u
+  JOIN a{i} a ON a.vec_id = u.vec_id
+  GROUP BY 1, 2
+),
+cent{i} AS (
+  SELECT cent_id, list(nv ORDER BY dim ASC) AS cv FROM p{i} GROUP BY 1
+)""")
+    return ",\n".join(parts)
+
+
+SQL_KMEANS_TRAIN = f"""WITH {_kmeans_train_cte()}
+SELECT vec_id, cent_id, round(d2, 4) AS d2 FROM (
+  SELECT e.vec_id, c.cent_id, {_KM_D2_TRAINED_SQL} AS d2,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_KM_D2_TRAINED_SQL} ASC, c.cent_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN cent{_KM_ITERS} c
+) WHERE rnk = 1
+"""
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index built on TRAINED centroids (the round-3 verdict's
+    'wire ann_ivf_assign to consume the trained centroids'): lists come
+    from the k-means trainer's final centroids, probes use the same
+    nprobe policy as q_ann_ivf_probe, output is candidate counts per
+    query. Same scale shape as the untrained probe — the trained
+    centroid table is just as broadcastable."""
+    e, cent = _trained_centroids(spark, sf_dir)
+    assign = _assign_to(e, cent, 1).select(
+        "vec_id", F.col("cent_id").alias("list_id")
+    )
+    probes = _assign_to(e, cent, _IVF_NPROBE).where(
+        F.col("vec_id") < 5
+    ).select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("list_id"))
+    cands = probes.join(assign, "list_id").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    return cands.groupBy("q_id").agg(F.count("*").alias("n_candidates"))
+
+
+SQL_ANN_IVF_TRAINED = f"""WITH {_kmeans_train_cte()},
+ranked_t AS (
+  SELECT e.vec_id, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_KM_D2_TRAINED_SQL} ASC, c.cent_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN cent{_KM_ITERS} c
+),
+assign_t AS (SELECT vec_id, cent_id AS list_id FROM ranked_t WHERE rnk <= 1),
+probes_t AS (
+  SELECT vec_id AS q_id, cent_id AS list_id FROM ranked_t
+  WHERE rnk <= {_IVF_NPROBE} AND vec_id < 5
+)
+SELECT p.q_id, count(*) AS n_candidates
+FROM probes_t p JOIN assign_t a ON a.list_id = p.list_id
+WHERE a.vec_id <> p.q_id
+GROUP BY p.q_id
+"""
+
+
 def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF read path: candidate set per query = vectors whose nearest
     list is among the query's nprobe nearest lists. Output candidate
@@ -1927,6 +2164,8 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
+    "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
+    "ann_ivf_trained": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
 }
