@@ -258,6 +258,100 @@ FROM dims
 SQL_RESIZE_DIMS = _resize_sql()
 
 
+def q_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level resize verification (closing the round-3 'resize is
+    decision-only' gap): per frame, synthesize a deterministic grayscale
+    image from (doc_key, span_offset) arithmetic, downscale it by an
+    exact factor 2 with the pure-numpy INTER_AREA kernel inside
+    mapInPandas (the real multimodal batch plumbing — Arrow transfer,
+    per-batch numpy work, exactly where cv2 would run), and emit the
+    resized-pixel checksum. Factor-2 INTER_AREA is the exact block mean
+    in quarter-integer arithmetic, so the DuckDB oracle recomputes every
+    output pixel independently and the match verifies BOTH the kernel's
+    integer-factor path and the Spark plumbing end-to-end. The
+    general-scale kernel paths are pinned by tests/test_resize_kernel.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.multimodal import INTER_AREA, resize_pixels
+
+    media = span_rows(spark, sf_dir).where("kind = 'media'").select(
+        "doc_id",
+        "media_ref",
+        (8 + 2 * ((F.col("doc_key") * 7 + F.col("span_offset") * 13) % 13))
+        .cast("int")
+        .alias("src_h"),
+        (8 + 2 * ((F.col("doc_key") * 11 + F.col("span_offset") * 17) % 17))
+        .cast("int")
+        .alias("src_w"),
+        (F.col("doc_key") * 31 + F.col("span_offset") * 57)
+        .cast("bigint")
+        .alias("seed"),
+    )
+
+    schema = (
+        "doc_id string, media_ref string, src_h int, src_w int, "
+        "out_h int, out_w int, checksum bigint"
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mref, h, w, seed in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["src_h"], pdf["src_w"], pdf["seed"]
+            ):
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                img = (int(seed) + 101 * r + 67 * c) % 256
+                out = resize_pixels(img, h // 2, w // 2, INTER_AREA)
+                rows.append(
+                    (doc_id, mref, int(h), int(w), h // 2, w // 2, int(out.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "src_h", "src_w",
+                    "out_h", "out_w", "checksum",
+                ],
+            )
+
+    return media.mapInPandas(_run, schema)
+
+
+SQL_RESIZE_CHECKSUM = f"""WITH {DUCKDB_SPANS_CTE},
+dims AS (
+  SELECT doc_id, media_ref,
+         CAST(8 + 2 * ((doc_key * 7 + span_offset * 13) % 13) AS INT) AS src_h,
+         CAST(8 + 2 * ((doc_key * 11 + span_offset * 17) % 17) AS INT) AS src_w,
+         CAST(doc_key * 31 + span_offset * 57 AS BIGINT) AS seed
+  FROM span_rows WHERE kind = 'media'
+),
+out_px AS (
+  SELECT doc_id, media_ref, src_h, src_w, seed,
+         unnest(list_transform(range(0, (src_h // 2) * (src_w // 2)),
+                i -> {{'oy': i // (src_w // 2), 'ox': i % (src_w // 2)}})) AS u
+  FROM dims
+),
+vals AS (
+  SELECT doc_id, media_ref, src_h, src_w,
+         floor((  (seed + 101 * (2 * u.oy)     + 67 * (2 * u.ox))     % 256
+                + (seed + 101 * (2 * u.oy)     + 67 * (2 * u.ox + 1)) % 256
+                + (seed + 101 * (2 * u.oy + 1) + 67 * (2 * u.ox))     % 256
+                + (seed + 101 * (2 * u.oy + 1) + 67 * (2 * u.ox + 1)) % 256
+               ) / 4.0 + 0.5) AS v
+  FROM out_px
+)
+SELECT doc_id, media_ref, src_h, src_w,
+       CAST(src_h // 2 AS INT) AS out_h, CAST(src_w // 2 AS INT) AS out_w,
+       CAST(sum(v) AS BIGINT) AS checksum
+FROM vals
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
 def q_media_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8: human-readable size formatting (reference
     video/processing.py:258-273) over deterministic per-frame byte
@@ -352,5 +446,6 @@ QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "augment_assign": (q_augment_assign, SQL_AUGMENT_ASSIGN),
     "resize_dims": (q_resize_dims, SQL_RESIZE_DIMS),
+    "resize_checksum": (q_resize_checksum, SQL_RESIZE_CHECKSUM),
     "media_sizes": (q_media_sizes, SQL_MEDIA_SIZES),
 }
