@@ -285,17 +285,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_decontaminate_from(spark, sf_dir, _shingles(spark, sf_dir))
 
 
+# Above this many probe shingles, stop broadcasting: a broadcast relation
+# is materialized on the driver and every executor; a multi-benchmark
+# probe set (or a leaked-document blocklist) can reach GBs, where the
+# keyed shuffle join is the right plan. ~64 bytes/shingle * 4M ~ 256 MB,
+# past the configured autoBroadcastJoinThreshold headroom.
+_PROBE_BROADCAST_MAX = 4_000_000
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_broadcast_max: int = _PROBE_BROADCAST_MAX,
+) -> DataFrame:
+    """Production entry point: counts the probe set once (a cheap
+    distinct-count over the tiny benchmark side) and picks broadcast vs
+    keyed join by the size guard. Both paths are row-identical — pinned
+    by tests/test_corpus_prep.py::test_decontaminate_paths_equal."""
+    sh = _shingles(spark, sf_dir)
+    n_probe = (
+        sh.where(F.col("doc_id") % _PROBE_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    return _q_decontaminate_from(
+        spark, sf_dir, sh, use_broadcast=n_probe <= probe_broadcast_max
+    )
+
+
+def q_decontaminate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed-join fallback path as a registered query (same oracle as
+    q_decontaminate — the plans differ, the rows must not): shuffle join
+    on the shingle key for probe sets past the broadcast threshold."""
+    return _q_decontaminate_from(
+        spark, sf_dir, _shingles(spark, sf_dir), use_broadcast=False
+    )
+
+
 def _q_decontaminate_from(
-    spark: SparkSession, sf_dir: str, sh: DataFrame
+    spark: SparkSession, sf_dir: str, sh: DataFrame, use_broadcast: bool = True
 ) -> DataFrame:
     probe = (
         sh.where(F.col("doc_id") % _PROBE_MOD == 0)
         .select("shingle")
         .distinct()
     )
+    if use_broadcast:
+        probe = F.broadcast(probe)
     corpus_sh = sh.where(F.col("doc_id") % _PROBE_MOD != 0)
     hits = (
-        corpus_sh.join(F.broadcast(probe), "shingle")
+        corpus_sh.join(probe, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -1114,6 +1154,7 @@ QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "decontaminate_join": (q_decontaminate_join, SQL_DECONTAMINATE),
     "mixture_stats": (q_mixture_stats, SQL_MIXTURE_STATS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),

@@ -80,14 +80,13 @@ def _dup_windows(spark: SparkSession, sf_dir: str, w: int = _SUBSTR_W) -> DataFr
     return wins.join(dup_fps, "fp", "leftsemi")
 
 
-def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal repeated-substring spans: for every document, each maximal
-    run of consecutive duplicated window starts, as
-    (doc_id, span_start, span_end, n_windows, span_tokens) with token
-    positions 0-based inclusive. span_end = last_start + W - 1."""
-    dup = _dup_windows(spark, sf_dir)
+def _spans_from_starts(starts: DataFrame) -> DataFrame:
+    """Gaps-and-islands over (doc_id, start0): maximal runs of
+    consecutive window starts as (doc_id, span_start, span_end,
+    n_windows, span_tokens), token positions 0-based inclusive,
+    span_end = last_start + W - 1."""
     w_doc = Window.partitionBy("doc_id").orderBy("start0")
-    runs = dup.withColumn(
+    runs = starts.withColumn(
         "grp", F.col("start0") - F.row_number().over(w_doc)
     )
     return runs.groupBy("doc_id", "grp").agg(
@@ -98,6 +97,13 @@ def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("span_tokens"),
     ).drop("grp")
+
+
+def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-substring spans over ALL duplicated occurrences
+    (the redundancy report: every repeat is flagged, including the copy
+    a keep-first dedup would retain)."""
+    return _spans_from_starts(_dup_windows(spark, sf_dir))
 
 
 _WINS_CTE = f"""
@@ -117,14 +123,27 @@ wins_raw AS (
 wins AS (
   SELECT doc_id, CAST(win.start0 AS INT) AS start0, win.fp AS fp FROM wins_raw
 ),
-dup AS (
-  SELECT doc_id, start0 FROM (
-    SELECT doc_id, start0, count(*) OVER (PARTITION BY fp) AS occ FROM wins
+dupw AS (
+  SELECT doc_id, start0, fp FROM (
+    SELECT doc_id, start0, fp, count(*) OVER (PARTITION BY fp) AS occ FROM wins
   ) WHERE occ >= 2
+),
+dup AS (
+  SELECT doc_id, start0 FROM dupw
+),
+removal AS (
+  SELECT doc_id, start0 FROM (
+    SELECT doc_id, start0,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC, start0 ASC) AS rnk
+    FROM dupw
+  ) WHERE rnk > 1
 )""".strip()
 
-_SPANS_CTE = f""",
-spans AS (
+
+def _spans_cte_sql(src: str, out: str) -> str:
+    """Gaps-and-islands CTE: maximal consecutive-start runs of `src`."""
+    return f""",
+{out} AS (
   SELECT doc_id,
          CAST(min(start0) AS INT) AS span_start,
          CAST(max(start0) + {_SUBSTR_W - 1} AS INT) AS span_end,
@@ -133,10 +152,13 @@ spans AS (
   FROM (
     SELECT doc_id, start0,
            start0 - row_number() OVER (PARTITION BY doc_id ORDER BY start0) AS grp
-    FROM dup
+    FROM {src}
   )
   GROUP BY doc_id, grp
 )"""
+
+
+_SPANS_CTE = _spans_cte_sql("dup", "spans")
 
 SQL_SUBSTR_DUP_SPANS = f"""WITH {_NORM_CTE},
 {_WINS_CTE}{_SPANS_CTE}
@@ -144,13 +166,12 @@ SELECT doc_id, span_start, span_end, n_windows, span_tokens FROM spans
 """
 
 
-def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Removal stats for substring dedup: per document, total tokens,
-    tokens covered by the UNION of repeat spans (overlap-safe interval
-    merge), span count, and the removable fraction. Every document
-    appears (zero-covered docs included) so the output is the corpus
-    report a dedup run signs off on."""
-    spans = q_substr_dup_spans(spark, sf_dir)
+def _coverage_stats(
+    spark: SparkSession, sf_dir: str, spans: DataFrame, frac_name: str
+) -> DataFrame:
+    """Per-document token-coverage report over a span set: interval
+    union (overlap-safe), span count, ppm fraction; zero-covered docs
+    included."""
     w_ord = Window.partitionBy("doc_id").orderBy("span_start")
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     merged = (
@@ -191,14 +212,27 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
         )
         .withColumn(
-            "frac_dup_ppm",
+            frac_name,
             F.expr("(2 * dup_tokens * 1000000 + n_tokens) div (2 * n_tokens)"),
         )
     )
 
 
-SQL_DEDUP_SUBSTRINGS = f"""WITH {_NORM_CTE},
-{_WINS_CTE}{_SPANS_CTE},
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal stats for substring dedup: per document, total tokens,
+    tokens covered by the UNION of repeat spans (overlap-safe interval
+    merge), span count, and the removable fraction. Every document
+    appears (zero-covered docs included) so the output is the corpus
+    report a dedup run signs off on."""
+    return _coverage_stats(
+        spark, sf_dir, q_substr_dup_spans(spark, sf_dir), "frac_dup_ppm"
+    )
+
+
+def _coverage_sql(spans_cte: str, tok_col: str, frac_col: str) -> str:
+    """Interval-union coverage report over a spans CTE (same merge logic
+    as _coverage_stats, independently stated in SQL)."""
+    return f""",
 ivs AS (
   SELECT doc_id, span_start, span_end,
          CASE WHEN prev_max_end IS NULL OR span_start > prev_max_end
@@ -208,11 +242,11 @@ ivs AS (
            max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              AS prev_max_end
-    FROM spans
+    FROM {spans_cte}
   )
 ),
 merged AS (
-  SELECT doc_id, sum(iv_tokens) AS dup_tokens, sum(iv_spans) AS n_spans
+  SELECT doc_id, sum(iv_tokens) AS cov_tokens, sum(iv_spans) AS cov_spans
   FROM (
     SELECT doc_id, iv,
            max(span_end) - min(span_start) + 1 AS iv_tokens,
@@ -226,21 +260,85 @@ merged AS (
   )
   GROUP BY doc_id
 )
-SELECT doc_id, n_tokens, dup_tokens, n_spans,
-       CAST((2 * dup_tokens * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT)
-         AS frac_dup_ppm
+SELECT doc_id, n_tokens, {tok_col}, n_spans,
+       CAST((2 * {tok_col} * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT)
+         AS {frac_col}
 FROM (
   SELECT n.doc_id,
          CAST(len(string_split(n.norm, ' ')) AS BIGINT) AS n_tokens,
-         CAST(coalesce(m.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-         CAST(coalesce(m.n_spans, 0) AS BIGINT) AS n_spans
+         CAST(coalesce(m.cov_tokens, 0) AS BIGINT) AS {tok_col},
+         CAST(coalesce(m.cov_spans, 0) AS BIGINT) AS n_spans
   FROM norm_docs n
   LEFT JOIN merged m ON m.doc_id = n.doc_id
 )
 """
 
 
+SQL_DEDUP_SUBSTRINGS = (
+    f"WITH {_NORM_CTE},\n{_WINS_CTE}{_SPANS_CTE}"
+    + _coverage_sql("spans", "dup_tokens", "frac_dup_ppm")
+)
+
+
+def _removal_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first policy: within each duplicated fingerprint, the
+    canonical occurrence (lowest (doc_id, start0)) is RETAINED; every
+    later occurrence is a removal candidate. One extra window over the
+    fingerprint partitions (tiny groups — occurrence lists), same
+    shuffle key the dup-count already used."""
+    dup = _dup_windows(spark, sf_dir)
+    w_fp = Window.partitionBy("fp").orderBy(
+        F.col("doc_id").asc(), F.col("start0").asc()
+    )
+    return (
+        dup.withColumn("rnk", F.row_number().over(w_fp))
+        .where(F.col("rnk") > 1)
+        .select("doc_id", "start0")
+    )
+
+
+def q_substr_removal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal spans of keep-first removal candidates — what a Lee-style
+    dedup actually deletes (the first occurrence of each repeated
+    window survives)."""
+    return _spans_from_starts(_removal_starts(spark, sf_dir))
+
+
+SQL_SUBSTR_REMOVAL_SPANS = f"""WITH {_NORM_CTE},
+{_WINS_CTE}{_spans_cte_sql("removal", "rspans")}
+SELECT doc_id, span_start, span_end, n_windows, span_tokens FROM rspans
+"""
+
+
+def q_dedup_substr_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first removal stats: per document, tokens actually deleted
+    under the keep-first policy (interval union of removal spans). The
+    corpus-level guarantee: every repeated window keeps exactly one
+    occurrence corpus-wide."""
+    stats = _coverage_stats(
+        spark, sf_dir, q_substr_removal_spans(spark, sf_dir), "removed_ppm"
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.col("dup_tokens").alias("removed_tokens"),
+        "n_spans",
+        "removed_ppm",
+    )
+
+
+SQL_DEDUP_SUBSTR_KEEP_FIRST = (
+    f"WITH {_NORM_CTE},\n{_WINS_CTE}{_spans_cte_sql('removal', 'rspans')}"
+    + _coverage_sql("rspans", "removed_tokens", "removed_ppm")
+)
+
+
 QUERIES: dict[str, tuple] = {
     "substr_dup_spans": (q_substr_dup_spans, SQL_SUBSTR_DUP_SPANS),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
+    "substr_removal_spans": (q_substr_removal_spans, SQL_SUBSTR_REMOVAL_SPANS),
+    "dedup_substr_keep_first": (
+        q_dedup_substr_keep_first,
+        SQL_DEDUP_SUBSTR_KEEP_FIRST,
+    ),
 }

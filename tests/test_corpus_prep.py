@@ -51,3 +51,47 @@ def test_corpus_prep_composition_invariants(spark, sf_dir):
     for _id, n_tok, start in rows:
         assert start == off
         off += n_tok
+
+
+def test_decontaminate_paths_equal(spark, sf_dir):
+    """Broadcast and keyed-join decontamination produce identical rows;
+    the production entry point's size guard selects between them."""
+    from ocr_dataset_builder_spark.queries_quality import (
+        decontaminate,
+        q_decontaminate,
+        q_decontaminate_join,
+    )
+
+    bc = sorted(map(tuple, q_decontaminate(spark, sf_dir).collect()))
+    kj = sorted(map(tuple, q_decontaminate_join(spark, sf_dir).collect()))
+    assert bc == kj
+    # guard=0 forces the keyed path through the production entry point
+    forced = sorted(map(tuple, decontaminate(spark, sf_dir, 0).collect()))
+    assert forced == bc
+
+
+def test_decontaminate_join_has_no_forced_broadcast(spark, sf_dir):
+    """The keyed path carries NO broadcast hint: at test scale the
+    planner still broadcasts the tiny probe side (correct — the guard
+    exists for when it is NOT tiny), so pin the semantics by disabling
+    the size-based broadcast: with the hint absent the probe join must
+    degrade to a shuffle join, which a forced hint would never do."""
+    from ocr_dataset_builder_spark.queries_quality import q_decontaminate_join
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        plan = (
+            q_decontaminate_join(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(key, prev)
+    probe_join = [
+        ln for ln in plan.splitlines() if "Join" in ln and "shingle" in ln
+    ]
+    assert probe_join, plan
+    assert not any("Broadcast" in ln for ln in probe_join), probe_join

@@ -133,3 +133,48 @@ def test_posting_cap_equality_below_cap(spark, sf_dir):
     finally:
         qc._POSTING_CAP = orig_cap
     assert capped == uncapped
+
+
+def test_keep_first_removal_semantics(spark, substr_dir):
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["n_windows"],
+            r["span_tokens"],
+        )
+        for r in qs.q_substr_removal_spans(spark, substr_dir).collect()
+    }
+    # A (doc 1) holds every canonical occurrence -> nothing to remove;
+    # B (doc 2) loses its whole shared run
+    assert spans[(2, 1, 10)] == (3, 10)
+    # C keeps the first in-doc occurrence, removes the second
+    assert spans[(3, 9, 16)] == (1, 8)
+    # E (doc 5) is canonical for both windows; F and G lose theirs
+    assert spans[(6, 0, 7)] == (1, 8)
+    assert spans[(7, 0, 7)] == (1, 8)
+    assert len(spans) == 4
+
+    stats = {
+        r["doc_id"]: (r["removed_tokens"], r["removed_ppm"])
+        for r in qs.q_dedup_substr_keep_first(spark, substr_dir).collect()
+    }
+    assert stats[1] == (0, 0)
+    assert stats[2] == (10, 909091)
+    assert stats[6] == (8, 1000000)
+
+
+def test_keep_first_retains_one_occurrence_per_fingerprint(spark, sf_dir):
+    """Corpus-wide invariant: removal windows = dup windows minus one
+    survivor per duplicated fingerprint, and removal starts are a strict
+    subset of dup starts."""
+    from pyspark.sql import functions as F
+
+    dup = qs._dup_windows(spark, sf_dir).cache()
+    removal = qs._removal_starts(spark, sf_dir)
+    n_dup = dup.count()
+    n_fps = dup.select("fp").distinct().count()
+    assert removal.count() == n_dup - n_fps
+    extra = removal.join(
+        dup.select("doc_id", "start0"), ["doc_id", "start0"], "left_anti"
+    )
+    assert extra.count() == 0
+    dup.unpersist()
