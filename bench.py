@@ -167,6 +167,7 @@ def main() -> None:
     timed("substr_dup_spans", qsub.q_substr_dup_spans(spark, SF_DIR))
     timed("dedup_substrings", qsub.q_dedup_substrings(spark, SF_DIR))
     timed("dedup_substr_keep_first", qsub.q_dedup_substr_keep_first(spark, SF_DIR))
+    timed("corpus_prep_substr", qsub.q_corpus_prep_substr(spark, SF_DIR))
 
     result = json.dumps(
         {

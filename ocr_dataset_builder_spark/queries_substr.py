@@ -59,18 +59,30 @@ def positional_ngrams(t: F.Column, n: int) -> F.Column:
 
 
 def _windows(
-    spark: SparkSession, sf_dir: str, w: int = _SUBSTR_W
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = _SUBSTR_W,
+    nd: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, start0, fp): one row per width-w token window."""
-    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    """(doc_id, start0, fp): one row per width-w token window. ``nd``
+    overrides the (doc_id, norm) relation — the composed corpus query
+    runs the machinery over its survivor set instead of the raw table."""
+    if nd is None:
+        nd = _norm_docs(spark, sf_dir)
+    nd = nd.withColumn("t", F.split("norm", " "))
     return nd.select(
         "doc_id",
         F.posexplode(positional_ngrams(F.col("t"), w)).alias("start0", "gram"),
     ).select("doc_id", "start0", _hex15(F.col("gram")).alias("fp"))
 
 
-def _dup_windows(spark: SparkSession, sf_dir: str, w: int = _SUBSTR_W) -> DataFrame:
-    wins = _windows(spark, sf_dir, w)
+def _dup_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = _SUBSTR_W,
+    nd: DataFrame | None = None,
+) -> DataFrame:
+    wins = _windows(spark, sf_dir, w, nd=nd)
     dup_fps = (
         wins.groupBy("fp")
         .agg(F.count("*").alias("occ"))
@@ -106,9 +118,11 @@ def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spans_from_starts(_dup_windows(spark, sf_dir))
 
 
-_WINS_CTE = f"""
+def _wins_cte_sql(src: str) -> str:
+    """Window/dup/removal CTE chain over any (doc_id, norm) relation."""
+    return f"""
 toks AS (
-  SELECT doc_id, string_split(norm, ' ') AS t FROM norm_docs
+  SELECT doc_id, string_split(norm, ' ') AS t FROM {src}
 ),
 wins_raw AS (
   SELECT doc_id,
@@ -138,6 +152,9 @@ removal AS (
     FROM dupw
   ) WHERE rnk > 1
 )""".strip()
+
+
+_WINS_CTE = _wins_cte_sql("norm_docs")
 
 
 def _spans_cte_sql(src: str, out: str) -> str:
@@ -229,9 +246,9 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _coverage_sql(spans_cte: str, tok_col: str, frac_col: str) -> str:
-    """Interval-union coverage report over a spans CTE (same merge logic
-    as _coverage_stats, independently stated in SQL)."""
+def _union_cte_sql(spans_cte: str) -> str:
+    """Interval-union CTEs (ivs + merged) over a spans CTE — per-doc
+    cov_tokens / cov_spans with overlaps merged."""
     return f""",
 ivs AS (
   SELECT doc_id, span_start, span_end,
@@ -259,7 +276,13 @@ merged AS (
     GROUP BY doc_id, iv
   )
   GROUP BY doc_id
-)
+)"""
+
+
+def _coverage_sql(spans_cte: str, tok_col: str, frac_col: str) -> str:
+    """Interval-union coverage report over a spans CTE (same merge logic
+    as _coverage_stats, independently stated in SQL)."""
+    return _union_cte_sql(spans_cte) + f"""
 SELECT doc_id, n_tokens, {tok_col}, n_spans,
        CAST((2 * {tok_col} * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT)
          AS {frac_col}
@@ -280,13 +303,15 @@ SQL_DEDUP_SUBSTRINGS = (
 )
 
 
-def _removal_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _removal_starts(
+    spark: SparkSession, sf_dir: str, nd: DataFrame | None = None
+) -> DataFrame:
     """Keep-first policy: within each duplicated fingerprint, the
     canonical occurrence (lowest (doc_id, start0)) is RETAINED; every
     later occurrence is a removal candidate. One extra window over the
     fingerprint partitions (tiny groups — occurrence lists), same
     shuffle key the dup-count already used."""
-    dup = _dup_windows(spark, sf_dir)
+    dup = _dup_windows(spark, sf_dir, nd=nd)
     w_fp = Window.partitionBy("fp").orderBy(
         F.col("doc_id").asc(), F.col("start0").asc()
     )
@@ -333,6 +358,147 @@ SQL_DEDUP_SUBSTR_KEEP_FIRST = (
 )
 
 
+def q_corpus_prep_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_prep upgraded to the modern dedup standard: the doc-level
+    chain (decontaminate -> stratified sample -> exact dedup) from
+    q_corpus_prep, then SUBSTRING keep-first dedup over the canonical
+    survivors — per-doc token counts shrink by the interval union of
+    removal spans, documents emptied entirely leave the corpus — and
+    GPT-style pack offsets computed over the POST-removal counts (the
+    two-phase prefix sum; no global window over the data).
+
+    Token accounting is in normalized-text tokens end to end (the
+    substring machinery operates on norm), unlike q_corpus_prep's
+    raw-text n_tok — the two are separate deliverables by design.
+    Scale: adds exactly the substr_removal_spans stages (linear shuffles
+    on fingerprint and doc_id) to the corpus_prep plan."""
+    from .queries_corpus import _NORM_SPARK, _docs, _hex15 as _h15
+    from .queries_quality import (
+        _PROBE_MOD,
+        _RATE_BP_SPARK,
+        _q_decontaminate_from,
+        pack_offsets,
+    )
+    from .queries_corpus import _shingles
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % _PROBE_MOD != 0)
+    sh = _shingles(spark, sf_dir)
+    hits = _q_decontaminate_from(spark, sf_dir, sh).where(F.col("contaminated"))
+    clean = d.join(hits.select("doc_id"), "doc_id", "left_anti")
+    sampled = clean.where(
+        _h15(F.col("doc_id").cast("string")) % 10000
+        < _RATE_BP_SPARK(F.col("source"))
+    )
+    fp = sampled.withColumn("fp", F.md5(_NORM_SPARK(F.col("text"))))
+    w = Window.partitionBy("fp")
+    canon = (
+        fp.withColumn("canon_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("canon_id"))
+        .select("doc_id", "source", _NORM_SPARK(F.col("text")).alias("norm"))
+    )
+    removal = _removal_starts(spark, sf_dir, nd=canon.select("doc_id", "norm"))
+    rspans = _spans_from_starts(removal)
+    survivors = _survivor_coverage(canon, rspans)
+    return pack_offsets(
+        survivors.where(F.col("n_tok") > 0),
+        passengers=["removed_tokens", "source"],
+    )
+
+
+def _survivor_coverage(canon: DataFrame, rspans: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok, removed_tokens): post-removal token
+    counts over the survivor set — interval union of removal spans
+    subtracted from the normalized token count."""
+    w_ord = Window.partitionBy("doc_id").orderBy("span_start")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    merged = (
+        rspans.withColumn("prev_max_end", F.max("span_end").over(w_prev))
+        .withColumn(
+            "new_iv",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("span_start") > F.col("prev_max_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("iv", F.sum("new_iv").over(w_ord))
+        .groupBy("doc_id", "iv")
+        .agg((F.max("span_end") - F.min("span_start") + 1).alias("iv_tokens"))
+        .groupBy("doc_id")
+        .agg(F.sum("iv_tokens").alias("removed_tokens"))
+    )
+    base = canon.select(
+        "doc_id",
+        "source",
+        F.size(F.split("norm", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(merged, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        (
+            F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0))
+        ).alias("n_tok"),
+        F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+    )
+
+
+def _corpus_prep_substr_sql() -> str:
+    from .queries_corpus import _HEX15_SQL, _NORM_SQL
+    from .queries_quality import (
+        _PACK_CAP,
+        _PROBE_MOD,
+        _RATE_BP_SQL,
+        _SHINGLE_CTE,
+    )
+
+    return f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
+probe AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_PROBE_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN probe p ON s.shingle = p.shingle
+  WHERE s.doc_id % {_PROBE_MOD} <> 0
+),
+sampled AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  WHERE d.doc_id % {_PROBE_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND {_HEX15_SQL("CAST(d.doc_id AS VARCHAR)")} % 10000 < {_RATE_BP_SQL("d.source")}
+),
+canon_docs AS (
+  SELECT doc_id, source, {_NORM_SQL} AS norm
+  FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS canon_id
+    FROM sampled
+  ) WHERE doc_id = canon_id
+),
+{_wins_cte_sql("canon_docs")}{_spans_cte_sql("removal", "rspans")}{_union_cte_sql("rspans")},
+survivors AS (
+  SELECT c.doc_id, c.source,
+         CAST(len(string_split(c.norm, ' ')) AS BIGINT)
+           - CAST(coalesce(m.cov_tokens, 0) AS BIGINT) AS n_tok,
+         CAST(coalesce(m.cov_tokens, 0) AS BIGINT) AS removed_tokens
+  FROM canon_docs c
+  LEFT JOIN merged m ON m.doc_id = c.doc_id
+),
+o AS (
+  SELECT doc_id, source, n_tok, removed_tokens,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM survivors WHERE n_tok > 0
+)
+SELECT doc_id, n_tok, start_off,
+       CAST(floor(start_off / {_PACK_CAP}) AS BIGINT) AS first_block,
+       CAST(floor((start_off + n_tok - 1) / {_PACK_CAP})
+            - floor(start_off / {_PACK_CAP}) + 1 AS BIGINT) AS n_blocks,
+       removed_tokens, source
+FROM o
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "substr_dup_spans": (q_substr_dup_spans, SQL_SUBSTR_DUP_SPANS),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
@@ -341,4 +507,5 @@ QUERIES: dict[str, tuple] = {
         q_dedup_substr_keep_first,
         SQL_DEDUP_SUBSTR_KEEP_FIRST,
     ),
+    "corpus_prep_substr": (q_corpus_prep_substr, _corpus_prep_substr_sql()),
 }

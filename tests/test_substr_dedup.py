@@ -178,3 +178,24 @@ def test_keep_first_retains_one_occurrence_per_fingerprint(spark, sf_dir):
     )
     assert extra.count() == 0
     dup.unpersist()
+
+
+def test_corpus_prep_substr_composition(spark, sf_dir):
+    """The substring-upgraded corpus_prep is the doc-level corpus_prep
+    with per-doc token counts shrunk by keep-first removal: same or
+    fewer docs (emptied docs leave), offsets contiguous over the
+    post-removal counts, and removal never grows a doc."""
+    from ocr_dataset_builder_spark.queries_quality import q_corpus_prep
+
+    v1 = {r["doc_id"] for r in q_corpus_prep(spark, sf_dir).collect()}
+    rows = qs.q_corpus_prep_substr(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= v1
+    assert all(r["n_tok"] > 0 for r in rows)
+    assert all(r["removed_tokens"] >= 0 for r in rows)
+    # offsets are an exact prefix sum over doc_id order
+    off = 0
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        assert r["start_off"] == off
+        off += r["n_tok"]
