@@ -32,6 +32,7 @@ _PRIORITY = [
     "substr_dup_spans", "dedup_substrings", "substr_removal_spans",
     "dedup_substr_keep_first", "corpus_prep_substr", "kmeans_train",
     "ann_ivf_trained", "resize_checksum", "decontaminate_join",
+    "html_content_text",
     # crosscheck-only in round 2 (no driver row yet)
     "refine_frames", "refine_summary", "multimodal_meta", "augment_assign",
     "resize_dims", "media_sizes", "events_hourly", "events_sessions",

@@ -165,6 +165,10 @@ def main() -> None:
     from ocr_dataset_builder_spark import queries_substr as qsub
 
     timed("substr_dup_spans", qsub.q_substr_dup_spans(spark, SF_DIR))
+    timed(
+        "substr_dup_spans_xx",
+        qsub.q_substr_dup_spans(spark, SF_DIR, fingerprint="xxhash64"),
+    )
     timed("dedup_substrings", qsub.q_dedup_substrings(spark, SF_DIR))
     timed("dedup_substr_keep_first", qsub.q_dedup_substr_keep_first(spark, SF_DIR))
     timed("corpus_prep_substr", qsub.q_corpus_prep_substr(spark, SF_DIR))

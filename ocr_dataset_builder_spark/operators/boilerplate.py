@@ -49,9 +49,12 @@ def duckdb_strip_html_sql(expr: str) -> str:
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
 
 
-def block_features(df: DataFrame, html_col: str = "html") -> DataFrame:
+def block_features(
+    df: DataFrame, html_col: str = "html", keep_text: bool = False
+) -> DataFrame:
     """Segment HTML into blocks and score each: (doc_id, block_id,
-    text_len, link_density, is_content)."""
+    text_len, link_density, is_content). ``keep_text`` carries the
+    block's extracted text through (for content re-assembly)."""
     blocks = df.select(
         "doc_id",
         F.posexplode(F.split(F.col(html_col), _BLOCK_SPLIT, -1)).alias(
@@ -70,9 +73,11 @@ def block_features(df: DataFrame, html_col: str = "html") -> DataFrame:
     link_density = F.round(
         F.col("link_len") / F.greatest(F.col("text_len"), F.lit(1)), 6
     )
+    extra = [F.col("text")] if keep_text else []
     return feat.select(
         "doc_id",
         "block_id",
+        *extra,
         "text_len",
         link_density.alias("link_density"),
         ((F.col("text_len") >= 15) & (link_density < 0.5)).alias("is_content"),

@@ -237,9 +237,55 @@ GROUP BY 1, 2
 """
 
 
+def q_html_content_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Boilerpipe-style end deliverable: main content as the
+    block-classifier's content blocks re-assembled in DOM order —
+    complements q_html_main_text (tag/chrome rule stripping) with the
+    feature-classified route. In-row ordering via array_sort over
+    (block_id, text) structs, one shuffle on doc_id; docs whose every
+    block is boilerplate stay present with empty content."""
+    from .operators.boilerplate import block_features
+
+    feats = block_features(_html_docs(spark, sf_dir), "html", keep_text=True)
+    content = (
+        feats.where(F.col("is_content"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("block_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("content_text")
+        )
+    )
+    base = _html_docs(spark, sf_dir).select("doc_id")
+    return base.join(content, "doc_id", "left").select(
+        "doc_id", F.coalesce("content_text", F.lit("")).alias("content_text")
+    )
+
+
+SQL_HTML_CONTENT_TEXT = (
+    f"WITH {_HTML_SQL_CTE},"
+    + duckdb_block_features_sql("html")
+    + """,
+content AS (
+  SELECT doc_id, string_agg(text, ' ' ORDER BY block_id ASC) AS content_text
+  FROM feat
+  WHERE text_len >= 15 AND round(link_len / greatest(text_len, 1), 6) < 0.5
+  GROUP BY doc_id
+)
+SELECT h.doc_id, coalesce(c.content_text, '') AS content_text
+FROM html_docs h LEFT JOIN content c ON c.doc_id = h.doc_id
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "html_blocks": (q_html_blocks, SQL_HTML_BLOCKS),
+    "html_content_text": (q_html_content_text, SQL_HTML_CONTENT_TEXT),
     "boilerplate_phrases": (q_boilerplate_phrases, SQL_BOILERPLATE_PHRASES),
     "boilerplate_strip_stats": (q_boilerplate_strip_stats, SQL_BOILERPLATE_STRIP_STATS),
     "layout_reading_order": (q_layout_reading_order, SQL_LAYOUT_READING_ORDER),

@@ -63,17 +63,32 @@ def _windows(
     sf_dir: str,
     w: int = _SUBSTR_W,
     nd: DataFrame | None = None,
+    fingerprint: str = "md5",
 ) -> DataFrame:
     """(doc_id, start0, fp): one row per width-w token window. ``nd``
     overrides the (doc_id, norm) relation — the composed corpus query
-    runs the machinery over its survivor set instead of the raw table."""
+    runs the machinery over its survivor set instead of the raw table.
+
+    ``fingerprint``: 'md5' (default) is the engine-portable 60-bit
+    md5-prefix integer the DuckDB oracle mirrors; 'xxhash64' is the
+    production fast path (Spark's native 64-bit hash, no hex parse —
+    measured cheaper on the signature stage) with identical span output
+    whenever neither hash collides (pinned by test); it has no DuckDB
+    twin, so only the md5 form is driver-registered."""
     if nd is None:
         nd = _norm_docs(spark, sf_dir)
     nd = nd.withColumn("t", F.split("norm", " "))
-    return nd.select(
+    grams = nd.select(
         "doc_id",
         F.posexplode(positional_ngrams(F.col("t"), w)).alias("start0", "gram"),
-    ).select("doc_id", "start0", _hex15(F.col("gram")).alias("fp"))
+    )
+    if fingerprint == "xxhash64":
+        fp = F.xxhash64("gram")
+    elif fingerprint == "md5":
+        fp = _hex15(F.col("gram"))
+    else:
+        raise ValueError(f"unknown fingerprint: {fingerprint!r}")
+    return grams.select("doc_id", "start0", fp.alias("fp"))
 
 
 def _dup_windows(
@@ -81,8 +96,9 @@ def _dup_windows(
     sf_dir: str,
     w: int = _SUBSTR_W,
     nd: DataFrame | None = None,
+    fingerprint: str = "md5",
 ) -> DataFrame:
-    wins = _windows(spark, sf_dir, w, nd=nd)
+    wins = _windows(spark, sf_dir, w, nd=nd, fingerprint=fingerprint)
     dup_fps = (
         wins.groupBy("fp")
         .agg(F.count("*").alias("occ"))
@@ -111,11 +127,15 @@ def _spans_from_starts(starts: DataFrame) -> DataFrame:
     ).drop("grp")
 
 
-def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_substr_dup_spans(
+    spark: SparkSession, sf_dir: str, fingerprint: str = "md5"
+) -> DataFrame:
     """Maximal repeated-substring spans over ALL duplicated occurrences
     (the redundancy report: every repeat is flagged, including the copy
     a keep-first dedup would retain)."""
-    return _spans_from_starts(_dup_windows(spark, sf_dir))
+    return _spans_from_starts(
+        _dup_windows(spark, sf_dir, fingerprint=fingerprint)
+    )
 
 
 def _wins_cte_sql(src: str) -> str:

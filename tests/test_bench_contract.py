@@ -13,11 +13,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_emits_one_json_line_with_contract_keys():
+    import tempfile
+
+    out_file = os.path.join(tempfile.mkdtemp(prefix="odb_bench_"), "r.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_REP="1",
+        # keep the repo-root fallback artifact out of test runs
+        SPARK_GRAFT_BENCH_OUT=out_file,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -31,6 +36,11 @@ def test_bench_emits_one_json_line_with_contract_keys():
         ln for ln in out.stdout.splitlines() if ln.startswith('{"metric"')
     ]
     assert len(json_lines) == 1, out.stdout[-2000:]
+    # the LAST stdout line is the result (what the driver parses), and
+    # the file fallback holds the identical payload
+    assert out.stdout.splitlines()[-1] == json_lines[0]
+    with open(out_file) as fh:
+        assert json.load(fh) == json.loads(json_lines[0])
     d = json.loads(json_lines[0])
     for key in ("metric", "value", "unit", "queries", "sf", "docs_per_sec",
                 "bench_docs", "replication", "cpus"):

@@ -344,3 +344,25 @@ def test_bm25_is_scan_plus_broadcast(spark, sf_dir):
     plan = _executed_plan(q_bm25_score(spark, sf_dir))
     assert "Generate explode" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_skew_stats_topk_is_take_ordered(spark, sf_dir):
+    """q_skew_stats must compute its top-k with a distributed
+    TakeOrdered (orderBy + limit), never a global row_number window over
+    the full per-key counts relation (round-3 verdict item: at 10^9
+    distinct docs that window is a single-partition sort)."""
+    from ocr_dataset_builder_spark.queries_quality import q_skew_stats
+
+    plan = (
+        q_skew_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only window left runs AFTER the limit (over <= k rows): it must
+    # sit above the TakeOrdered node, i.e. appear before it in the
+    # top-down plan print
+    win = plan.find("Window")
+    tko = plan.find("TakeOrderedAndProject")
+    assert win != -1 and win < tko, plan

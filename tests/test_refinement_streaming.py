@@ -190,3 +190,61 @@ def test_pdf_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_pdf(b"%PDF-1.4")
+
+
+def test_mode_swap_shares_batch_run_prefix(spark, sf_dir):
+    """The batch run prefix is owned by the STREAM CHECKPOINT, not the
+    caller: draining with availableNow under one run_id, then resuming
+    as the continuous daemon under a DIFFERENT run_id, must stage and
+    commit under the first mode's prefix — so a re-delivered batch
+    overwrites its own output instead of committing twice (round-3
+    ADVICE finding)."""
+    import time
+
+    from ocr_dataset_builder_spark.pipeline import read_extracted
+    from ocr_dataset_builder_spark.streaming.daemon import (
+        watch_available_now,
+        watch_continuous,
+    )
+
+    nested = synth.documents_spans(spark, sf_dir)
+    part1 = nested.where(F.col("doc_id").cast("bigint") % 2 == 0)
+    part2 = nested.where(F.col("doc_id").cast("bigint") % 2 == 1)
+    n1, n2 = part1.count(), part2.count()
+
+    in_dir = tempfile.mkdtemp(prefix="odb_swap_in_")
+    out_dir = tempfile.mkdtemp(prefix="odb_swap_out_")
+    query = None
+    try:
+        part1.write.mode("append").parquet(in_dir)
+        got1 = watch_available_now(spark, in_dir, out_dir, run_id="modeA")
+        assert got1 == n1
+
+        part2.write.mode("append").parquet(in_dir)
+        query, processed = watch_continuous(
+            spark, in_dir, out_dir, run_id="modeB", interval="1 second"
+        )
+        deadline = time.monotonic() + 90
+        while processed["n"] < n2:
+            assert query.isActive, query.exception()
+            assert time.monotonic() < deadline, processed
+            time.sleep(0.5)
+        query.stop()
+        query = None
+
+        committed = read_extracted(spark, out_dir)
+        assert committed.select("doc_id").distinct().count() == n1 + n2
+        # every committed run id carries the FIRST mode's prefix
+        from ocr_dataset_builder_spark.lineage import read_checkpoint
+
+        run_ids = {
+            r["run_id"]
+            for r in read_checkpoint(spark, out_dir).select("run_id").distinct().collect()
+        }
+        assert run_ids, "no committed runs"
+        assert all(r.startswith("modeA-b") for r in run_ids), run_ids
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -199,3 +199,20 @@ def test_corpus_prep_substr_composition(spark, sf_dir):
     for r in sorted(rows, key=lambda r: r["doc_id"]):
         assert r["start_off"] == off
         off += r["n_tok"]
+
+
+def test_fingerprint_paths_identical_spans(spark, sf_dir):
+    """md5 (portable, oracle-backed) and xxhash64 (production fast path)
+    fingerprints produce identical span output when collision-free."""
+    md5_spans = rows_set(
+        [tuple(r) for r in qs.q_substr_dup_spans(spark, sf_dir).collect()]
+    )
+    xx_spans = rows_set(
+        [
+            tuple(r)
+            for r in qs.q_substr_dup_spans(
+                spark, sf_dir, fingerprint="xxhash64"
+            ).collect()
+        ]
+    )
+    assert md5_spans == xx_spans
