@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries_corpus import _NORM_CTE, _hex15, _norm_docs
+from .queries_corpus import _NORM_CTE, _hex15, _maybe_persist, _norm_docs
 
 _SUBSTR_W = 8  # token-window width (50 in production; docs here are short)
 
@@ -97,8 +97,20 @@ def _dup_windows(
     w: int = _SUBSTR_W,
     nd: DataFrame | None = None,
     fingerprint: str = "md5",
+    storage_level=None,
 ) -> DataFrame:
-    wins = _windows(spark, sf_dir, w, nd=nd, fingerprint=fingerprint)
+    """Windows that occur >= 2 times corpus-wide. The dup-fingerprint
+    side is a partial-agg count (small shuffle) and the semi-join
+    carries no hint, so the planner broadcasts the dup set when tiny
+    and shuffles when not — the right call at both ends of the scale.
+    Left pure, both join sides recompute the window/fingerprint stage
+    (two scans); ``storage_level`` persists it once — the same
+    single-scan knob as dataset_sample/corpus_prep (the driver always
+    compares the pure form)."""
+    wins = _maybe_persist(
+        _windows(spark, sf_dir, w, nd=nd, fingerprint=fingerprint),
+        storage_level,
+    )
     dup_fps = (
         wins.groupBy("fp")
         .agg(F.count("*").alias("occ"))
@@ -128,13 +140,18 @@ def _spans_from_starts(starts: DataFrame) -> DataFrame:
 
 
 def q_substr_dup_spans(
-    spark: SparkSession, sf_dir: str, fingerprint: str = "md5"
+    spark: SparkSession,
+    sf_dir: str,
+    fingerprint: str = "md5",
+    storage_level=None,
 ) -> DataFrame:
     """Maximal repeated-substring spans over ALL duplicated occurrences
     (the redundancy report: every repeat is flagged, including the copy
     a keep-first dedup would retain)."""
     return _spans_from_starts(
-        _dup_windows(spark, sf_dir, fingerprint=fingerprint)
+        _dup_windows(
+            spark, sf_dir, fingerprint=fingerprint, storage_level=storage_level
+        )
     )
 
 
