@@ -395,7 +395,9 @@ SQL_DEDUP_SUBSTR_KEEP_FIRST = (
 )
 
 
-def q_corpus_prep_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_prep_substr(
+    spark: SparkSession, sf_dir: str, storage_level=None
+) -> DataFrame:
     """corpus_prep upgraded to the modern dedup standard: the doc-level
     chain (decontaminate -> stratified sample -> exact dedup) from
     q_corpus_prep, then SUBSTRING keep-first dedup over the canonical
@@ -419,7 +421,10 @@ def q_corpus_prep_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_corpus import _shingles
 
     d = _docs(spark, sf_dir).where(F.col("doc_id") % _PROBE_MOD != 0)
-    sh = _shingles(spark, sf_dir)
+    # the knob persists the two relations every downstream side
+    # re-derives when pure: the shingle set (probe + corpus hits) and
+    # the survivor set (windows, removal base, coverage base)
+    sh = _maybe_persist(_shingles(spark, sf_dir), storage_level)
     hits = _q_decontaminate_from(spark, sf_dir, sh).where(F.col("contaminated"))
     clean = d.join(hits.select("doc_id"), "doc_id", "left_anti")
     sampled = clean.where(
@@ -428,10 +433,11 @@ def q_corpus_prep_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = sampled.withColumn("fp", F.md5(_NORM_SPARK(F.col("text"))))
     w = Window.partitionBy("fp")
-    canon = (
+    canon = _maybe_persist(
         fp.withColumn("canon_id", F.min("doc_id").over(w))
         .where(F.col("doc_id") == F.col("canon_id"))
-        .select("doc_id", "source", _NORM_SPARK(F.col("text")).alias("norm"))
+        .select("doc_id", "source", _NORM_SPARK(F.col("text")).alias("norm")),
+        storage_level,
     )
     removal = _removal_starts(spark, sf_dir, nd=canon.select("doc_id", "norm"))
     rspans = _spans_from_starts(removal)

@@ -216,3 +216,27 @@ def test_fingerprint_paths_identical_spans(spark, sf_dir):
         ]
     )
     assert md5_spans == xx_spans
+
+
+def test_window_width_parameter(spark, substr_dir):
+    """W is a real parameter, not a baked constant: at w=10 the A/B
+    shared 10-token run is exactly ONE window, and C's 8-token repeats
+    fall below the width and vanish."""
+    dup = qs._dup_windows(spark, substr_dir, w=10)
+    starts = {(r["doc_id"], r["start0"]) for r in dup.collect()}
+    assert (1, 0) in starts and (2, 1) in starts
+    assert not any(d == 3 for d, _ in starts)  # 8-token repeat < W
+
+
+def test_corpus_prep_substr_persist_knob_equal(spark, sf_dir):
+    pure = sorted(map(tuple, qs.q_corpus_prep_substr(spark, sf_dir).collect()))
+    knob = sorted(
+        map(
+            tuple,
+            qs.q_corpus_prep_substr(
+                spark, sf_dir, storage_level="MEMORY_AND_DISK"
+            ).collect(),
+        )
+    )
+    assert pure == knob
+    spark.catalog.clearCache()
