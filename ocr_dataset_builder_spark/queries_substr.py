@@ -341,14 +341,17 @@ SQL_DEDUP_SUBSTRINGS = (
 
 
 def _removal_starts(
-    spark: SparkSession, sf_dir: str, nd: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    nd: DataFrame | None = None,
+    storage_level=None,
 ) -> DataFrame:
     """Keep-first policy: within each duplicated fingerprint, the
     canonical occurrence (lowest (doc_id, start0)) is RETAINED; every
     later occurrence is a removal candidate. One extra window over the
     fingerprint partitions (tiny groups — occurrence lists), same
     shuffle key the dup-count already used."""
-    dup = _dup_windows(spark, sf_dir, nd=nd)
+    dup = _dup_windows(spark, sf_dir, nd=nd, storage_level=storage_level)
     w_fp = Window.partitionBy("fp").orderBy(
         F.col("doc_id").asc(), F.col("start0").asc()
     )
@@ -439,7 +442,12 @@ def q_corpus_prep_substr(
         .select("doc_id", "source", _NORM_SPARK(F.col("text")).alias("norm")),
         storage_level,
     )
-    removal = _removal_starts(spark, sf_dir, nd=canon.select("doc_id", "norm"))
+    removal = _removal_starts(
+        spark,
+        sf_dir,
+        nd=canon.select("doc_id", "norm"),
+        storage_level=storage_level,
+    )
     rspans = _spans_from_starts(removal)
     survivors = _survivor_coverage(canon, rspans)
     return pack_offsets(
