@@ -550,8 +550,100 @@ FROM o
 """
 
 
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style): the dedup unit between doc-level
+# exact and substring-level — CCNet removes duplicated PARAGRAPHS across
+# the corpus before LM filtering. The flat synthetic docs carry no
+# paragraph boundaries, so paragraphs are derived as consecutive
+# non-overlapping 20-token chunks (same synthesis discipline as the HTML
+# corpus) — stride == width, vs the substring machinery's stride 1.
+# ---------------------------------------------------------------------------
+
+_PARA_TOK = 20
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first paragraph dedup: fingerprint each 20-token chunk,
+    retain the corpus-wide first occurrence (lowest (doc_id, para_idx)),
+    and re-assemble each document from its kept paragraphs. Output:
+    (doc_id, n_paras, n_dup_paras, kept_text — '' when everything was
+    someone else's paragraph first).
+
+    Scale: one fingerprint shuffle (row_number over tiny per-fp
+    occurrence lists) + one doc_id shuffle for the re-assembly; chunking
+    itself is in-row (sequence + slice), no Python anywhere."""
+    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    n_chunks = F.ceil(F.size("t") / F.lit(_PARA_TOK)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("t"), i * _PARA_TOK + 1, _PARA_TOK), " "
+        ),
+    )
+    paras = nd.select(
+        "doc_id", F.posexplode(chunks).alias("para_idx", "para")
+    ).withColumn("fp", _hex15(F.col("para")))
+    w_fp = Window.partitionBy("fp").orderBy(
+        F.col("doc_id").asc(), F.col("para_idx").asc()
+    )
+    ranked = paras.withColumn("rnk", F.row_number().over(w_fp))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum((F.col("rnk") > 1).cast("bigint")).alias("n_dup_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rnk") == 1,
+                            F.struct("para_idx", "para"),
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""WITH {_NORM_CTE},
+toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM norm_docs
+),
+paras AS (
+  SELECT doc_id, CAST(u.i AS INT) AS para_idx,
+         u.para AS para,
+         ('0x' || substr(md5(u.para), 1, 15))::BIGINT AS fp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(ceil(len(t) / {_PARA_TOK}.0) AS BIGINT)),
+             i -> struct_pack(
+               i := i,
+               para := array_to_string(t[i * {_PARA_TOK} + 1 : i * {_PARA_TOK} + {_PARA_TOK}], ' ')
+             ))) AS u
+    FROM toks
+  )
+),
+ranked AS (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC, para_idx ASC) AS rnk
+  FROM paras
+)
+SELECT doc_id,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       coalesce(string_agg(CASE WHEN rnk = 1 THEN para END, ' ' ORDER BY para_idx ASC), '')
+         AS kept_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "substr_dup_spans": (q_substr_dup_spans, SQL_SUBSTR_DUP_SPANS),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
     "substr_removal_spans": (q_substr_removal_spans, SQL_SUBSTR_REMOVAL_SPANS),
     "dedup_substr_keep_first": (

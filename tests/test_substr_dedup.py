@@ -240,3 +240,83 @@ def test_corpus_prep_substr_persist_knob_equal(spark, sf_dir):
     )
     assert pure == knob
     spark.catalog.clearCache()
+
+
+def _brute_force_spans(docs: dict, w: int):
+    """Independent O(n^2)-naive Python oracle: all dup spans and
+    keep-first removal spans over {doc_id: [tokens]}."""
+    from collections import Counter
+
+    wins = {
+        did: [" ".join(t[i : i + w]) for i in range(len(t) - w + 1)]
+        for did, t in docs.items()
+    }
+    cnt = Counter(g for ws in wins.values() for g in ws)
+    first = {}
+    for did in sorted(wins):
+        for i, g in enumerate(wins[did]):
+            first.setdefault(g, (did, i))
+
+    def islands(starts):
+        out, run = [], []
+        for s in starts:
+            if run and s == run[-1] + 1:
+                run.append(s)
+            else:
+                if run:
+                    out.append(run)
+                run = [s]
+        if run:
+            out.append(run)
+        return [
+            (r[0], r[-1] + w - 1, len(r), r[-1] + w - r[0]) for r in out
+        ]
+
+    dup_spans, removal_spans = set(), set()
+    for did, ws in wins.items():
+        dup = [i for i, g in enumerate(ws) if cnt[g] >= 2]
+        rem = [i for i in dup if first[ws[i]] != (did, i)]
+        for sp in islands(dup):
+            dup_spans.add((did,) + sp)
+        for sp in islands(rem):
+            removal_spans.add((did,) + sp)
+    return dup_spans, removal_spans
+
+
+def test_substr_spans_match_brute_force_randomized(spark):
+    """Five seeded random corpora (small alphabet -> dense repeats):
+    the distributed span pipeline must agree exactly with a naive
+    single-machine recomputation — the suffix-array-replacement claim,
+    checked against an implementation that shares no code with it."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = {
+            did: [rng.choice(vocab) for _ in range(rng.randint(9, 40))]
+            for did in range(1, 31)
+        }
+        tmp = tempfile.mkdtemp(prefix=f"odb_prop_{seed}_")
+        try:
+            rows = [
+                (did, " ".join(toks), "en", "web", 0)
+                for did, toks in docs.items()
+            ]
+            spark.createDataFrame(
+                rows,
+                "doc_id bigint, text string, lang string, source string, n_chars bigint",
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+            exp_dup, exp_rem = _brute_force_spans(docs, qs._SUBSTR_W)
+            got_dup = {
+                (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"], r["span_tokens"])
+                for r in qs.q_substr_dup_spans(spark, tmp).collect()
+            }
+            got_rem = {
+                (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"], r["span_tokens"])
+                for r in qs.q_substr_removal_spans(spark, tmp).collect()
+            }
+            assert got_dup == exp_dup, f"seed {seed}: dup spans diverge"
+            assert got_rem == exp_rem, f"seed {seed}: removal spans diverge"
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
