@@ -88,3 +88,23 @@ def test_connected_components_long_path(spark):
     )
     got = {r["doc_id"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_substr_dedup_on_degenerate_corpus_is_linear_and_exact(spark, degenerate_dir):
+    """All-identical corpus: every window is duplicated, yet the
+    substring machinery has NO pair expansion to cap — occurrence lists
+    just get long. Keep-first must retain exactly one doc's windows
+    (the lowest doc_id) and mark every other doc fully removable."""
+    from ocr_dataset_builder_spark import queries_substr as qs
+
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"])
+        for r in qs.q_dedup_substr_keep_first(spark, degenerate_dir).collect()
+    }
+    identical = {d: v for d, v in stats.items() if d < 1000}
+    assert len(identical) == _N_IDENTICAL
+    keeper = min(identical)
+    assert identical[keeper][1] == 0  # canonical doc keeps everything
+    for d, (n_tok, removed) in identical.items():
+        if d != keeper:
+            assert removed == n_tok, (d, n_tok, removed)  # fully removable
