@@ -105,6 +105,27 @@ def main() -> None:
             statistics.median(abs(s - med) for s in samples), 3
         )
 
+    def timed_factory(name: str, mk) -> None:
+        # for queries that run eager work at CONSTRUCTION time (the
+        # k-means trainer localCheckpoints each Lloyd iteration while
+        # the DataFrame is being built): rebuild inside the timed
+        # region so the sample covers the whole algorithm, and clear
+        # the cache so no run reuses the previous run's checkpoints
+        import statistics
+
+        force(mk())
+        samples = []
+        for _ in range(RUNS):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            force(mk())
+            samples.append(time.time() - t0)
+        med = statistics.median(samples)
+        timings[name] = round(min(samples) if STAT == "best" else med, 3)
+        dispersion[name] = round(
+            statistics.median(abs(s - med) for s in samples), 3
+        )
+
     # flagship: end-to-end extraction (explode -> OCR -> cleanup -> reassembly)
     timed("flagship_extract", extract_spans(nested))
     flagship_sec = timings["flagship_extract"]
@@ -160,7 +181,7 @@ def main() -> None:
     timed("distinct_sketch", qq.q_distinct_sketch(spark, SF_DIR))
     timed("bm25_score", qq.q_bm25_score(spark, SF_DIR))
     timed("kmeans_step", qc.q_kmeans_step(spark, SF_DIR))
-    timed("kmeans_train", qc.q_kmeans_train(spark, SF_DIR))
+    timed_factory("kmeans_train", lambda: qc.q_kmeans_train(spark, SF_DIR))
 
     from ocr_dataset_builder_spark import queries_substr as qsub
 

@@ -73,18 +73,26 @@ sh AS (
 )"""
 
 
-def word_ngrams(t: F.Column, n: int) -> F.Column:
-    """Distinct word n-grams via zip_with over shifted slices — each slice
-    argument evaluates once per row (element_at inside a transform lambda
-    re-evaluates the split per element: O(tokens^2) regex work, measured
-    as the dominant cost of the shingle stages)."""
+def positional_ngrams(t: F.Column, n: int) -> F.Column:
+    """Word n-grams in start order WITH multiplicity — element i
+    (0-based) is the window starting at token i. Built via zip_with over
+    shifted slices: each slice argument evaluates once per row
+    (element_at inside a transform lambda re-evaluates the split per
+    element — O(tokens^2) regex work, measured as the dominant cost of
+    the shingle stages)."""
     ln = F.greatest(F.size(t) - (n - 1), F.lit(0))
     grams = F.slice(t, 1, ln)
     for k in range(1, n):
         grams = F.zip_with(
             grams, F.slice(t, k + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    return F.array_distinct(grams)
+    return grams
+
+
+def word_ngrams(t: F.Column, n: int) -> F.Column:
+    """Distinct word n-grams (the shingle form: position and
+    multiplicity dropped)."""
+    return F.array_distinct(positional_ngrams(t, n))
 
 
 def _maybe_persist(df: DataFrame, storage_level) -> DataFrame:

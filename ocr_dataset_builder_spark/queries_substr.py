@@ -40,22 +40,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries_corpus import _NORM_CTE, _hex15, _maybe_persist, _norm_docs
+from .queries_corpus import (
+    _NORM_CTE,
+    _hex15,
+    _maybe_persist,
+    _norm_docs,
+    positional_ngrams,
+)
 
 _SUBSTR_W = 8  # token-window width (50 in production; docs here are short)
-
-
-def positional_ngrams(t: F.Column, n: int) -> F.Column:
-    """Word n-grams in start order WITH multiplicity — element i (0-based)
-    is the window starting at token i. Same shifted-slice zip_with shape
-    as queries_corpus.word_ngrams, minus the distinct."""
-    ln = F.greatest(F.size(t) - (n - 1), F.lit(0))
-    grams = F.slice(t, 1, ln)
-    for k in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(t, k + 1, ln), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    return grams
 
 
 def _windows(
@@ -120,20 +113,22 @@ def _dup_windows(
     return wins.join(dup_fps, "fp", "leftsemi")
 
 
-def _spans_from_starts(starts: DataFrame) -> DataFrame:
+def _spans_from_starts(starts: DataFrame, w: int = _SUBSTR_W) -> DataFrame:
     """Gaps-and-islands over (doc_id, start0): maximal runs of
     consecutive window starts as (doc_id, span_start, span_end,
     n_windows, span_tokens), token positions 0-based inclusive,
-    span_end = last_start + W - 1."""
+    span_end = last_start + w - 1. ``w`` MUST match the width the
+    starts were fingerprinted with (the width knob threads through
+    every public entry point)."""
     w_doc = Window.partitionBy("doc_id").orderBy("start0")
     runs = starts.withColumn(
         "grp", F.col("start0") - F.row_number().over(w_doc)
     )
     return runs.groupBy("doc_id", "grp").agg(
         F.min("start0").cast("int").alias("span_start"),
-        (F.max("start0") + F.lit(_SUBSTR_W - 1)).cast("int").alias("span_end"),
+        (F.max("start0") + F.lit(w - 1)).cast("int").alias("span_end"),
         F.count("*").alias("n_windows"),
-        (F.max("start0") + F.lit(_SUBSTR_W) - F.min("start0"))
+        (F.max("start0") + F.lit(w) - F.min("start0"))
         .cast("int")
         .alias("span_tokens"),
     ).drop("grp")
@@ -144,14 +139,20 @@ def q_substr_dup_spans(
     sf_dir: str,
     fingerprint: str = "md5",
     storage_level=None,
+    w: int = _SUBSTR_W,
 ) -> DataFrame:
     """Maximal repeated-substring spans over ALL duplicated occurrences
     (the redundancy report: every repeat is flagged, including the copy
     a keep-first dedup would retain)."""
     return _spans_from_starts(
         _dup_windows(
-            spark, sf_dir, fingerprint=fingerprint, storage_level=storage_level
-        )
+            spark,
+            sf_dir,
+            w=w,
+            fingerprint=fingerprint,
+            storage_level=storage_level,
+        ),
+        w=w,
     )
 
 
@@ -220,15 +221,15 @@ SELECT doc_id, span_start, span_end, n_windows, span_tokens FROM spans
 """
 
 
-def _coverage_stats(
-    spark: SparkSession, sf_dir: str, spans: DataFrame, frac_name: str
-) -> DataFrame:
-    """Per-document token-coverage report over a span set: interval
-    union (overlap-safe), span count, ppm fraction; zero-covered docs
-    included."""
+def _merged_coverage(spans: DataFrame) -> DataFrame:
+    """Interval-union merge of a (doc_id, span_start, span_end) span
+    set: per-doc (cov_tokens, cov_spans) with overlapping spans counted
+    once — the ONE implementation both the dedup report and the
+    composed corpus query use (running-max-end -> new-interval flag ->
+    interval groups)."""
     w_ord = Window.partitionBy("doc_id").orderBy("span_start")
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    merged = (
+    return (
         spans.withColumn("prev_max_end", F.max("span_end").over(w_prev))
         .withColumn(
             "new_iv",
@@ -246,9 +247,22 @@ def _coverage_stats(
         )
         .groupBy("doc_id")
         .agg(
-            F.sum("iv_tokens").alias("dup_tokens"),
-            F.sum("iv_spans").alias("n_spans"),
+            F.sum("iv_tokens").alias("cov_tokens"),
+            F.sum("iv_spans").alias("cov_spans"),
         )
+    )
+
+
+def _coverage_stats(
+    spark: SparkSession, sf_dir: str, spans: DataFrame, frac_name: str
+) -> DataFrame:
+    """Per-document token-coverage report over a span set: interval
+    union (overlap-safe), span count, ppm fraction; zero-covered docs
+    included."""
+    merged = _merged_coverage(spans).select(
+        "doc_id",
+        F.col("cov_tokens").alias("dup_tokens"),
+        F.col("cov_spans").alias("n_spans"),
     )
     nd = _norm_docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("norm", " ")).cast("bigint").alias("n_tokens")
@@ -345,13 +359,16 @@ def _removal_starts(
     sf_dir: str,
     nd: DataFrame | None = None,
     storage_level=None,
+    w: int = _SUBSTR_W,
 ) -> DataFrame:
     """Keep-first policy: within each duplicated fingerprint, the
     canonical occurrence (lowest (doc_id, start0)) is RETAINED; every
     later occurrence is a removal candidate. One extra window over the
     fingerprint partitions (tiny groups — occurrence lists), same
     shuffle key the dup-count already used."""
-    dup = _dup_windows(spark, sf_dir, nd=nd, storage_level=storage_level)
+    dup = _dup_windows(
+        spark, sf_dir, w=w, nd=nd, storage_level=storage_level
+    )
     w_fp = Window.partitionBy("fp").orderBy(
         F.col("doc_id").asc(), F.col("start0").asc()
     )
@@ -362,11 +379,13 @@ def _removal_starts(
     )
 
 
-def q_substr_removal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_substr_removal_spans(
+    spark: SparkSession, sf_dir: str, w: int = _SUBSTR_W
+) -> DataFrame:
     """Maximal spans of keep-first removal candidates — what a Lee-style
     dedup actually deletes (the first occurrence of each repeated
     window survives)."""
-    return _spans_from_starts(_removal_starts(spark, sf_dir))
+    return _spans_from_starts(_removal_starts(spark, sf_dir, w=w), w=w)
 
 
 SQL_SUBSTR_REMOVAL_SPANS = f"""WITH {_NORM_CTE},
@@ -460,23 +479,8 @@ def _survivor_coverage(canon: DataFrame, rspans: DataFrame) -> DataFrame:
     """(doc_id, source, n_tok, removed_tokens): post-removal token
     counts over the survivor set — interval union of removal spans
     subtracted from the normalized token count."""
-    w_ord = Window.partitionBy("doc_id").orderBy("span_start")
-    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    merged = (
-        rspans.withColumn("prev_max_end", F.max("span_end").over(w_prev))
-        .withColumn(
-            "new_iv",
-            F.when(
-                F.col("prev_max_end").isNull()
-                | (F.col("span_start") > F.col("prev_max_end")),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn("iv", F.sum("new_iv").over(w_ord))
-        .groupBy("doc_id", "iv")
-        .agg((F.max("span_end") - F.min("span_start") + 1).alias("iv_tokens"))
-        .groupBy("doc_id")
-        .agg(F.sum("iv_tokens").alias("removed_tokens"))
+    merged = _merged_coverage(rspans).select(
+        "doc_id", F.col("cov_tokens").alias("removed_tokens")
     )
     base = canon.select(
         "doc_id",

@@ -58,6 +58,23 @@ def get_spark(
         builder = builder.config(key, value)
     active = SparkSession.getActiveSession()
     if active is not None:
+        # an already-active session wins, but a caller's explicit knobs
+        # must not be silently dropped: apply the runtime-settable ones
+        # and WARN about static ones that cannot change post-launch
+        # (returning with them unapplied is how the bench's
+        # showConsoleProgress flag would quietly stop working)
+        for key, value in (extra_conf or {}).items():
+            try:
+                active.conf.set(key, value)
+            except Exception:
+                import warnings
+
+                warnings.warn(
+                    f"get_spark: static conf {key!r} cannot be applied to "
+                    "the already-active SparkSession; value unchanged",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return active
     # Under spark-submit the Python driver is launched BY the JVM (the
     # py4j gateway is pre-created and spark.master comes from the submit

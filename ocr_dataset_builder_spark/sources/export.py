@@ -58,9 +58,14 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     shard_paths = []
-    for root, _dirs, files in _os.walk(path):
+    for root, dirs, files in _os.walk(path):
+        # prune hidden/temporary directories IN PLACE (the Hadoop
+        # hidden-file filter applies to every path segment: a killed
+        # writer's _temporary/.../part-*.parquet must never be counted
+        # as a committed shard)
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for name in files:
-            if name.endswith(".parquet") and not name.startswith("_"):
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
                 shard_paths.append(_os.path.join(root, name))
     paths_df = spark.createDataFrame(
         [(p,) for p in sorted(shard_paths)], "file_path string"

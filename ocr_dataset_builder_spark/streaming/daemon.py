@@ -75,14 +75,28 @@ def _checkpoint_run_prefix(checkpoint_dir: str, run_id: str) -> str:
     under the OTHER mode would stage '<other>-b<N>' instead of
     overwriting '<orig>-b<N>' and commit the same docs twice. So the
     first mode to create the checkpoint persists its prefix beside it,
-    and every later invocation — either mode — reuses the stored one."""
+    and every later invocation — either mode — reuses the stored one.
+
+    Migration caveat: a stream checkpoint created before the marker
+    existed has committed batches under its original caller's run_id but
+    carries no marker — the first post-upgrade invocation's run_id
+    becomes the prefix, so that invocation MUST pass the original
+    run_id or a re-delivered in-flight batch would still stage under a
+    new name. The marker is written atomically (tmp + rename) so a
+    crash mid-write can never install an empty prefix."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, "RUN_PREFIX")
     if os.path.exists(marker):
         with open(marker) as fh:
-            return fh.read().strip()
-    with open(marker, "w") as fh:
+            stored = fh.read().strip()
+        if stored:
+            return stored
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write(run_id)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, marker)
     return run_id
 
 

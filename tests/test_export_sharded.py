@@ -59,3 +59,38 @@ def test_validate_export_raises_on_mismatch(spark, sf_dir):
             validate_export(spark, out, expected_rows=20, max_records_per_file=0)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_manifest_ignores_temporary_and_hidden_dirs(spark, sf_dir):
+    """A killed writer's _temporary/.../part-*.parquet (or a hidden
+    dir's files) must never be counted as committed shards — the walk
+    prunes every path segment starting with '_' or '.', matching the
+    Hadoop hidden-file filter the spark.read path applied."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_dataset_builder_spark.sources.export import (
+        export_sharded,
+        validate_export,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    n = d.count()
+    out = tempfile.mkdtemp(prefix="odb_export_tmp_")
+    try:
+        export_sharded(d, out, partition_col="source", max_records_per_file=200)
+        summary = validate_export(spark, out, expected_rows=n, max_records_per_file=200)
+        # inject orphan files a crashed attempt would leave behind
+        for junk in ("_temporary/0/task_1", ".hidden"):
+            jdir = os.path.join(out, junk)
+            os.makedirs(jdir, exist_ok=True)
+            d.limit(5).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(jdir, "junk")
+            )
+        summary2 = validate_export(spark, out, expected_rows=n, max_records_per_file=200)
+        assert summary2["total_rows"] == summary["total_rows"] == n
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -221,11 +221,22 @@ def test_fingerprint_paths_identical_spans(spark, sf_dir):
 def test_window_width_parameter(spark, substr_dir):
     """W is a real parameter, not a baked constant: at w=10 the A/B
     shared 10-token run is exactly ONE window, and C's 8-token repeats
-    fall below the width and vanish."""
+    fall below the width and vanish — and the SPANS carry the w=10
+    arithmetic (span_end/span_tokens), not the default's."""
     dup = qs._dup_windows(spark, substr_dir, w=10)
     starts = {(r["doc_id"], r["start0"]) for r in dup.collect()}
     assert (1, 0) in starts and (2, 1) in starts
     assert not any(d == 3 for d, _ in starts)  # 8-token repeat < W
+
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["n_windows"],
+            r["span_tokens"],
+        )
+        for r in qs.q_substr_dup_spans(spark, substr_dir, w=10).collect()
+    }
+    assert spans[(1, 0, 9)] == (1, 10)
+    assert spans[(2, 1, 10)] == (1, 10)
 
 
 def test_corpus_prep_substr_persist_knob_equal(spark, sf_dir):
