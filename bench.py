@@ -194,6 +194,7 @@ def main() -> None:
     timed("dedup_substr_keep_first", qsub.q_dedup_substr_keep_first(spark, SF_DIR))
     timed("corpus_prep_substr", qsub.q_corpus_prep_substr(spark, SF_DIR))
     timed("paragraph_dedup", qsub.q_paragraph_dedup(spark, SF_DIR))
+    timed("dedup_incremental", qsub.q_dedup_incremental(spark, SF_DIR))
 
     result = json.dumps(
         {

@@ -645,9 +645,128 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental dedup: a NEW batch against a pre-built corpus index — how a
+# production pipeline handles a daily crawl without recomputing the
+# corpus. The index is the window-fingerprint table; a new document
+# loses (a) every window already known to the corpus and (b) keep-first
+# duplicates WITHIN the batch among the windows the corpus has not seen.
+# ---------------------------------------------------------------------------
+
+_NEW_BATCH_MOD = 10  # registered query: doc_id % 10 >= 8 is the "new" batch
+
+
+def _incremental_removal_starts(
+    new_wins: DataFrame, index_fps: DataFrame
+) -> DataFrame:
+    """(doc_id, start0) removal candidates for a new batch vs an index:
+    index hits are removed outright (the corpus already owns that
+    content); index misses dedup keep-first within the batch. Two keyed
+    joins on the compact fingerprint + one row_number over per-fp
+    occurrence lists — the batch never joins itself pairwise, and the
+    index relation needs only its fp column."""
+    idx = index_fps.select("fp").distinct()
+    hit = new_wins.join(idx, "fp", "leftsemi").select("doc_id", "start0")
+    miss = new_wins.join(idx, "fp", "left_anti")
+    w_fp = Window.partitionBy("fp").orderBy(
+        F.col("doc_id").asc(), F.col("start0").asc()
+    )
+    batch_dup = (
+        miss.withColumn("rnk", F.row_number().over(w_fp))
+        .where(F.col("rnk") > 1)
+        .select("doc_id", "start0")
+    )
+    return hit.unionByName(batch_dup)
+
+
+def build_substr_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, w: int = _SUBSTR_W
+) -> None:
+    """Materialize the corpus window-fingerprint index: (fp, n_occ)
+    parquet, one row per distinct fingerprint. Incremental runs read
+    ONLY this (a fraction of corpus size) instead of re-fingerprinting
+    the corpus."""
+    _windows(spark, sf_dir, w).groupBy("fp").agg(
+        F.count("*").alias("n_occ")
+    ).write.mode("overwrite").parquet(index_dir)
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    new_nd: DataFrame,
+    index_dir: str,
+    w: int = _SUBSTR_W,
+) -> DataFrame:
+    """Pipeline API: removal spans for a new (doc_id, norm) batch
+    against a stored index (see build_substr_index)."""
+    new_wins = _windows(spark, sf_dir=None, w=w, nd=new_nd)
+    idx = spark.read.parquet(index_dir)
+    return _spans_from_starts(
+        _incremental_removal_starts(new_wins, idx), w=w
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered driver form (index derived in-plan so the oracle can
+    recompute it): docs with doc_id % 10 < 8 are the EXISTING corpus,
+    the rest are the new batch. Per new doc: tokens removed under the
+    incremental policy, span count, ppm — the report that gates a
+    daily-crawl merge."""
+    wins = _windows(spark, sf_dir)
+    existing = wins.where(F.col("doc_id") % _NEW_BATCH_MOD < 8)
+    new_wins = wins.where(F.col("doc_id") % _NEW_BATCH_MOD >= 8)
+    removal = _incremental_removal_starts(new_wins, existing)
+    spans = _spans_from_starts(removal)
+    stats = _coverage_stats(spark, sf_dir, spans, "removed_ppm")
+    return stats.where(F.col("doc_id") % _NEW_BATCH_MOD >= 8).select(
+        "doc_id",
+        "n_tokens",
+        F.col("dup_tokens").alias("removed_tokens"),
+        "n_spans",
+        "removed_ppm",
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""WITH {_NORM_CTE},
+{_WINS_CTE},
+idx AS (
+  SELECT DISTINCT fp FROM wins WHERE doc_id % {_NEW_BATCH_MOD} < 8
+),
+neww AS (
+  SELECT * FROM wins WHERE doc_id % {_NEW_BATCH_MOD} >= 8
+),
+hit AS (
+  SELECT doc_id, start0 FROM neww WHERE fp IN (SELECT fp FROM idx)
+),
+batch_dup AS (
+  SELECT doc_id, start0 FROM (
+    SELECT doc_id, start0,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC, start0 ASC) AS rnk
+    FROM neww WHERE fp NOT IN (SELECT fp FROM idx)
+  ) WHERE rnk > 1
+),
+iremoval AS (
+  SELECT * FROM hit UNION ALL SELECT * FROM batch_dup
+){_spans_cte_sql("iremoval", "ispans")}{_union_cte_sql("ispans")}
+SELECT doc_id, n_tokens, removed_tokens, n_spans,
+       CAST((2 * removed_tokens * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT)
+         AS removed_ppm
+FROM (
+  SELECT n.doc_id,
+         CAST(len(string_split(n.norm, ' ')) AS BIGINT) AS n_tokens,
+         CAST(coalesce(m.cov_tokens, 0) AS BIGINT) AS removed_tokens,
+         CAST(coalesce(m.cov_spans, 0) AS BIGINT) AS n_spans
+  FROM norm_docs n
+  LEFT JOIN merged m ON m.doc_id = n.doc_id
+  WHERE n.doc_id % {_NEW_BATCH_MOD} >= 8
+)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "substr_dup_spans": (q_substr_dup_spans, SQL_SUBSTR_DUP_SPANS),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
     "substr_removal_spans": (q_substr_removal_spans, SQL_SUBSTR_REMOVAL_SPANS),
     "dedup_substr_keep_first": (

@@ -331,3 +331,60 @@ def test_substr_spans_match_brute_force_randomized(spark):
             assert got_rem == exp_rem, f"seed {seed}: removal spans diverge"
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_file_index_matches_in_plan_incremental(spark, sf_dir):
+    """The stored-index pipeline path (build_substr_index ->
+    dedup_against_index) produces exactly the in-plan registered
+    query's removal spans for the same corpus/batch split."""
+    from pyspark.sql import functions as F
+
+    from ocr_dataset_builder_spark.queries_corpus import _norm_docs
+
+    idx_dir = tempfile.mkdtemp(prefix="odb_substr_idx_")
+    try:
+        nd = _norm_docs(spark, sf_dir)
+        existing = nd.where(F.col("doc_id") % qs._NEW_BATCH_MOD < 8)
+        new_nd = nd.where(F.col("doc_id") % qs._NEW_BATCH_MOD >= 8).select(
+            "doc_id", "norm"
+        )
+        # index built ONLY from the existing split (write to files)
+        qs._windows(spark, sf_dir=None, nd=existing.select("doc_id", "norm")).groupBy(
+            "fp"
+        ).agg(F.count("*").alias("n_occ")).write.mode("overwrite").parquet(
+            os.path.join(idx_dir, "index")
+        )
+        via_files = {
+            tuple(r)
+            for r in qs.dedup_against_index(
+                spark, new_nd, os.path.join(idx_dir, "index")
+            ).collect()
+        }
+        wins = qs._windows(spark, sf_dir)
+        in_plan = {
+            tuple(r)
+            for r in qs._spans_from_starts(
+                qs._incremental_removal_starts(
+                    wins.where(F.col("doc_id") % qs._NEW_BATCH_MOD >= 8),
+                    wins.where(F.col("doc_id") % qs._NEW_BATCH_MOD < 8),
+                )
+            ).collect()
+        }
+        assert via_files == in_plan and via_files
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def test_incremental_semantics_on_fixture(spark, substr_dir):
+    """Fixture split: with docs 1-5 as the corpus and 6,7 as the new
+    batch, both new docs lose their full window (E owns the canonical
+    e-windows): everything in the batch that the corpus already has is
+    removed, and within-batch keep-first applies to the rest."""
+    wins = qs._windows(spark, substr_dir)
+    from pyspark.sql import functions as F
+
+    removal = qs._incremental_removal_starts(
+        wins.where(F.col("doc_id") >= 6), wins.where(F.col("doc_id") <= 5)
+    )
+    got = {(r["doc_id"], r["start0"]) for r in removal.collect()}
+    assert got == {(6, 0), (7, 0)}
