@@ -31,7 +31,7 @@ _PRIORITY = [
     # new in round 4
     "substr_dup_spans", "dedup_substrings", "substr_removal_spans",
     "dedup_substr_keep_first", "corpus_prep_substr", "paragraph_dedup",
-    "dedup_incremental", "kmeans_train",
+    "dedup_incremental", "substr_dup_rate", "kmeans_train",
     "ann_ivf_trained", "resize_checksum", "decontaminate_join",
     "html_content_text",
     # crosscheck-only in round 2 (no driver row yet)

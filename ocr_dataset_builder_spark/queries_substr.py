@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from .queries_corpus import (
     _NORM_CTE,
+    _docs,
     _hex15,
     _maybe_persist,
     _norm_docs,
@@ -763,8 +764,56 @@ FROM (
 """
 
 
+def q_substr_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus observability rollup: per source, total tokens, tokens
+    inside dup spans, doc counts, and the duplication rate in ppm — the
+    one-page answer to 'how redundant is each feed?' that decides
+    whether the substring pass is worth running on it. Pure partial-agg
+    over the per-doc report (one extra tiny shuffle on source)."""
+    per_doc = q_dedup_substrings(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("dup_tokens") > 0).cast("bigint")).alias(
+                "n_docs_with_dups"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("dup_tokens").alias("total_dup_tokens"),
+        )
+        .withColumn(
+            "dup_rate_ppm",
+            F.expr(
+                "(2 * total_dup_tokens * 1000000 + total_tokens) div (2 * total_tokens)"
+            ),
+        )
+    )
+
+
+def _substr_dup_rate_sql() -> str:
+    body = SQL_DEDUP_SUBSTRINGS.rstrip()
+    return f"""WITH per_doc AS (
+{body}
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN p.dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_dups,
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(p.dup_tokens) AS BIGINT) AS total_dup_tokens,
+       CAST((2 * CAST(sum(p.dup_tokens) AS BIGINT) * 1000000
+             + CAST(sum(p.n_tokens) AS BIGINT))
+            // (2 * CAST(sum(p.n_tokens) AS BIGINT)) AS BIGINT) AS dup_rate_ppm
+FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "substr_dup_spans": (q_substr_dup_spans, SQL_SUBSTR_DUP_SPANS),
+    "substr_dup_rate": (q_substr_dup_rate, _substr_dup_rate_sql()),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
