@@ -20,35 +20,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # If the driver caps how many registered queries it value-checks per
-# round (round 2 recorded 50 of 65, taken in registry order), rotation
-# keeps every query covered across rounds: queries that have NOT yet
-# appeared in a CORRECTNESS_r* file come first, then this round's new
-# queries, then the long-green rest.
+# round (50 per round so far), rotation keeps every query covered and —
+# per the round-4 verdict — prioritizes by STALENESS OF EVIDENCE, not
+# novelty: (1) queries whose code changed since their last driver row
+# (including never-checked new ones), (2) queries whose latest green row
+# is the oldest, (3) the recently-re-verified rest. A semantics-changing
+# edit can then never coast on a stale green row.
 _PRIORITY = [
-    # the ONLY query with zero driver rows across r1-r3 (registered round
-    # 3, fell past the 50-query rotation cut) — head of the line
-    "tfidf_top_terms",
-    # new in round 4
-    "substr_dup_spans", "dedup_substrings", "substr_removal_spans",
-    "dedup_substr_keep_first", "corpus_prep_substr", "paragraph_dedup",
-    "dedup_incremental", "substr_dup_rate", "kmeans_train",
-    "ann_ivf_trained", "resize_checksum", "decontaminate_join",
-    "html_content_text",
-    # crosscheck-only in round 2 (no driver row yet)
-    "refine_frames", "refine_summary", "multimodal_meta", "augment_assign",
-    "resize_dims", "media_sizes", "events_hourly", "events_sessions",
-    "html_main_text", "html_blocks", "boilerplate_phrases",
-    "boilerplate_strip_stats", "ann_ivf_probe", "embedding_label_stats",
-    "layout_reading_order",
-    # new or semantics-changed in round 3
-    "dataset_sample", "parse_image_batches", "simhash_near_stats",
-    "length_percentiles_agg", "simhash", "simhash_near",
-    "quality_repetition", "pii_scrub", "decontaminate",
-    "mixture_stats", "stratified_sample", "doc_chunking", "pack_blocks",
-    "corpus_prep", "quality_filter", "unigram_logprob", "events_asof_join", "events_range_join", "events_rollup", "distinct_sketch", "bm25_score", "kmeans_step", "ann_recall",
-    "ann_lsh_bucket", "embedding_near_dup_lsh", "events_json_props", "events_pivot", "events_funnel", "dedup_cross_source", "skew_stats",
-    # the flagship chain stays inside any plausible budget
+    # -- tier 1: round-5 code changes ------------------------------------
+    # brand new this round (zero driver rows)
+    "dedup_substr_apply", "ngram_posting_drops",
+    # keep-first skew rewrite (min-struct agg replaced the per-fp
+    # row_number window) touches these five's plans directly
+    "substr_removal_spans", "dedup_substr_keep_first", "paragraph_dedup",
+    "dedup_incremental", "corpus_prep_substr",
+    # default-persist / plan-sharing / signature changes
+    "substr_dup_rate", "dedup_substrings",
+    # construction-time guard rewritten (limit-probe instead of count)
+    "embedding_near_dup",
+    # -- tier 2: latest driver row is r2 AND the module was edited in r4
+    # (queries_corpus.py: caps/guards/trainer work) — stale-row risk
+    "ngram_jaccard", "minhash_sig", "minhash_lsh", "minhash_lsh_stats",
+    "minhash_jaccard_verify", "dedup_exact", "dedup_corpus",
+    "near_dup_components", "token_stats", "length_percentiles",
+    "top_terms", "quality_score", "lang_id", "doc_fingerprint",
+    "ann_cosine_topk", "ann_ivf_assign",
+    # -- tier 3: latest driver row is r2, module untouched since
+    "sample_k", "slice_window", "batch_stats", "batch_assemble",
+    "dedup_encode", "fref_decode", "same_as_prev", "strict_join_ocr",
+    "ext_fallback_join", "positional_join", "summary_broadcast",
+    "aux_left_join", "resume_pending", "checkpoint_semi",
+    "batch_validation", "key_priority", "cleaning_pairs", "pass_counters",
+    "doc_cost", "cost_stats", "cost_tiered_models", "ocr_rollup",
+    "densify_frames", "allowlist_filter",
+    # -- tier 4: latest driver row is r3
+    "kmeans_step", "ann_recall", "ann_lsh_bucket", "embedding_near_dup_lsh",
+    "events_json_props", "events_pivot", "events_funnel",
+    "dedup_cross_source", "skew_stats", "fps_filter",
     "flagship_extract", "span_seq", "ocr_clean", "media_frames",
+    # -- tier 5: green in r4 (the registry default order appends the rest)
 ]
 
 

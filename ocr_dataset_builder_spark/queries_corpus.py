@@ -231,6 +231,54 @@ WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= {_JACCARD_MIN}
 """
 
 
+def q_ngram_posting_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability companion to q_ngram_jaccard's _POSTING_CAP: the
+    cap silently drops every pair for any shingle shared by more than
+    _POSTING_CAP docs (stopword-like shingles), and the capped query has
+    no side channel to say so. This one-row report makes the loss
+    visible — shingle count, largest posting list, dropped-shingle
+    count, and the EXACT number of co-occurrence pairs the cap
+    suppressed (sum of C(n,2) over dropped postings). A production run
+    checks dropped_pairs == 0 before trusting the baseline's recall; a
+    nonzero value is the signal to use the LSH path instead. Cost: the
+    same one shingle shuffle the baseline already pays, then a scalar
+    rollup (partial-agg, skew-immune)."""
+    per = _shingles(spark, sf_dir).groupBy("shingle").agg(
+        F.count("*").alias("n_docs")
+    )
+    return per.agg(
+        F.count("*").alias("n_shingles"),
+        F.max("n_docs").alias("max_posting"),
+        F.sum((F.col("n_docs") > _POSTING_CAP).cast("bigint")).alias(
+            "n_dropped_shingles"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_docs") > _POSTING_CAP,
+                    F.expr("n_docs * (n_docs - 1) div 2"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dropped_pairs"),
+    )
+
+
+SQL_NGRAM_POSTING_DROPS = f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
+per AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(max(n_docs) AS BIGINT) AS max_posting,
+       CAST(sum(CASE WHEN n_docs > {_POSTING_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_shingles,
+       CAST(coalesce(sum(CASE WHEN n_docs > {_POSTING_CAP}
+                               THEN n_docs * (n_docs - 1) // 2 END), 0) AS BIGINT)
+         AS dropped_pairs
+FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # minhash_sig + minhash_lsh — signatures and banded candidate pairs
 # ---------------------------------------------------------------------------
@@ -1973,13 +2021,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (bounded inputs only; raises past _EMB_ALLPAIRS_MAX
     vectors). The default scale path is q_embedding_near_dup_lsh: same
     cosine verification, candidates from hyperplane-LSH buckets instead
-    of the full cross product."""
-    n_vecs = _emb(spark, sf_dir).count()
-    if n_vecs > _EMB_ALLPAIRS_MAX:
+    of the full cross product.
+
+    NOTE: the guard runs one eager short-circuiting probe job at
+    DataFrame-CONSTRUCTION time — limit(MAX+1).count() over the id
+    column only, so it stops as soon as MAX+1 rows are seen instead of
+    scanning the table (a full count here made every caller that only
+    builds the plan pay a whole-table scan)."""
+    probe = (
+        _emb(spark, sf_dir)
+        .select("vec_id")
+        .limit(_EMB_ALLPAIRS_MAX + 1)
+        .count()
+    )
+    if probe > _EMB_ALLPAIRS_MAX:
         raise ValueError(
             f"q_embedding_near_dup is the all-pairs recall baseline; "
-            f"{n_vecs} vectors > _EMB_ALLPAIRS_MAX={_EMB_ALLPAIRS_MAX} "
-            f"would expand to ~{n_vecs * (n_vecs - 1) // 2:.2e} pairs. "
+            f"input exceeds _EMB_ALLPAIRS_MAX={_EMB_ALLPAIRS_MAX} vectors "
+            f"(>= {probe}), which would expand to >= "
+            f"{probe * (probe - 1) // 2:.2e} pairs. "
             "Use q_embedding_near_dup_lsh (bucketed) at this scale."
         )
     elem = _elem(spark, sf_dir)
@@ -2150,6 +2210,7 @@ QUERIES: dict[str, tuple] = {
     "allowlist_filter": (q_allowlist_filter, SQL_ALLOWLIST_FILTER),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_posting_drops": (q_ngram_posting_drops, SQL_NGRAM_POSTING_DROPS),
     "minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "minhash_lsh_stats": (q_minhash_lsh_stats, SQL_MINHASH_LSH_STATS),

@@ -287,14 +287,20 @@ def _coverage_stats(
     )
 
 
-def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_substrings(
+    spark: SparkSession, sf_dir: str, storage_level=None
+) -> DataFrame:
     """Removal stats for substring dedup: per document, total tokens,
     tokens covered by the UNION of repeat spans (overlap-safe interval
     merge), span count, and the removable fraction. Every document
     appears (zero-covered docs included) so the output is the corpus
-    report a dedup run signs off on."""
+    report a dedup run signs off on. ``storage_level`` persists the
+    window/fingerprint stage (referenced by both dup-join sides)."""
     return _coverage_stats(
-        spark, sf_dir, q_substr_dup_spans(spark, sf_dir), "frac_dup_ppm"
+        spark,
+        sf_dir,
+        q_substr_dup_spans(spark, sf_dir, storage_level=storage_level),
+        "frac_dup_ppm",
     )
 
 
@@ -355,6 +361,42 @@ SQL_DEDUP_SUBSTRINGS = (
 )
 
 
+def _keep_first_removals(occ: DataFrame) -> DataFrame:
+    """Keep-first policy over any (doc_id, start0, fp) occurrence set:
+    every occurrence of each duplicated fingerprint EXCEPT the
+    corpus-wide minimum (doc_id, start0) is a removal candidate.
+
+    Skew-safe by construction: the canonical occurrence per fingerprint
+    is a min(struct(doc_id, start0)) PARTIAL AGG — map-side combine
+    reduces a hot boilerplate fingerprint (one ubiquitous window with
+    10^7+ occurrences on a crawl corpus) to one row per map task before
+    the shuffle — and the mark-back is a keyed join, which AQE
+    skew-splitting can carve up at runtime. The previous form ranked
+    occurrences with row_number() over Window.partitionBy(fp), which
+    sends EVERY occurrence of one fingerprint to a single task's sort
+    with no recourse (AQE skew handling applies to joins, never to
+    windows). Semantics are identical — keep-first needs only the
+    minimum, not a full ranking — so the DuckDB oracles are unchanged;
+    a plan gate asserts no Window node survives in this subplan."""
+    keep = (
+        occ.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "start0")).alias("keep"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .select("fp", "keep")
+    )
+    return (
+        occ.join(keep, "fp")
+        .where(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("start0") != F.col("keep.start0"))
+        )
+        .select("doc_id", "start0")
+    )
+
+
 def _removal_starts(
     spark: SparkSession,
     sf_dir: str,
@@ -362,22 +404,12 @@ def _removal_starts(
     storage_level=None,
     w: int = _SUBSTR_W,
 ) -> DataFrame:
-    """Keep-first policy: within each duplicated fingerprint, the
-    canonical occurrence (lowest (doc_id, start0)) is RETAINED; every
-    later occurrence is a removal candidate. One extra window over the
-    fingerprint partitions (tiny groups — occurrence lists), same
-    shuffle key the dup-count already used."""
-    dup = _dup_windows(
-        spark, sf_dir, w=w, nd=nd, storage_level=storage_level
-    )
-    w_fp = Window.partitionBy("fp").orderBy(
-        F.col("doc_id").asc(), F.col("start0").asc()
-    )
-    return (
-        dup.withColumn("rnk", F.row_number().over(w_fp))
-        .where(F.col("rnk") > 1)
-        .select("doc_id", "start0")
-    )
+    """Keep-first removal candidates over the corpus windows. One
+    partial-agg shuffle on the fingerprint (count + min-struct in the
+    same pass — the dup filter and the canonical pick share it) and one
+    keyed join back; see _keep_first_removals for the skew story."""
+    wins = _maybe_persist(_windows(spark, sf_dir, w, nd=nd), storage_level)
+    return _keep_first_removals(wins)
 
 
 def q_substr_removal_spans(
@@ -418,8 +450,97 @@ SQL_DEDUP_SUBSTR_KEEP_FIRST = (
 )
 
 
+def _apply_removals(nd: DataFrame, rspans: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, kept_text) over a (doc_id, norm)
+    relation and a removal-span set: tokens at positions inside ANY
+    removal span are dropped and the survivors re-join in original
+    order. The membership test is in-row (filter-with-index + exists
+    over the doc's collected span list — spans per doc are few after
+    islanding), so the only shuffles are the span collect and the join
+    back, both on doc_id — the key the corpus is already bucketed by."""
+    sp = rspans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    base = nd.withColumn("t", F.split("norm", " "))
+    joined = base.join(sp, "doc_id", "left")
+    # exists over a NULL span list (doc with nothing removed) is NULL;
+    # ~NULL is NULL; coalesce(…, True) keeps every token of such docs
+    kept = F.filter(
+        "t",
+        lambda tok, i: F.coalesce(
+            ~F.exists(
+                "sp",
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+            F.lit(True),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+def q_dedup_substr_apply(
+    spark: SparkSession, sf_dir: str, storage_level=None, w: int = _SUBSTR_W
+) -> DataFrame:
+    """The dedup SHIP step (what a Lee-style run actually emits, vs the
+    reports the other rungs produce): each document's post-removal text
+    under the keep-first policy — tokens outside the interval union of
+    its removal spans, in original order. Every document appears; a doc
+    whose every window was someone else's first comes back with
+    kept_text = '' and n_kept = 0 (a downstream corpus build drops
+    those rows). Reference end-product analogue: the cleaned per-frame
+    text shipped by data/pytorch_dataset.py:526-536."""
+    rspans = _spans_from_starts(
+        _removal_starts(spark, sf_dir, storage_level=storage_level, w=w),
+        w=w,
+    )
+    return _apply_removals(
+        _norm_docs(spark, sf_dir).select("doc_id", "norm"), rspans
+    )
+
+
+# the oracle re-derives kept positions INDEPENDENTLY: per-span position
+# ranges (range() list expansion) anti-joined against all token
+# positions, then re-assembled with an ordered string_agg — no shared
+# interval-union machinery with the Spark side's in-row filter
+SQL_DEDUP_SUBSTR_APPLY = f"""WITH {_NORM_CTE},
+{_WINS_CTE}{_spans_cte_sql("removal", "rspans")},
+toks2 AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM norm_docs
+),
+rem_pos AS (
+  SELECT DISTINCT doc_id,
+         CAST(unnest(range(span_start, span_end + 1)) AS INT) AS pos
+  FROM rspans
+),
+allpos AS (
+  SELECT doc_id, CAST(unnest(range(0, len(t))) AS INT) AS pos FROM toks2
+),
+keptpos AS (
+  SELECT a.doc_id, a.pos
+  FROM allpos a LEFT JOIN rem_pos r ON r.doc_id = a.doc_id AND r.pos = a.pos
+  WHERE r.doc_id IS NULL
+),
+kept_agg AS (
+  SELECT k.doc_id, count(*) AS n_kept,
+         string_agg(t.t[k.pos + 1], ' ' ORDER BY k.pos) AS kept_text
+  FROM keptpos k JOIN toks2 t ON t.doc_id = k.doc_id
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(ka.kept_text, '') AS kept_text
+FROM toks2 t LEFT JOIN kept_agg ka ON ka.doc_id = t.doc_id
+"""
+
+
 def q_corpus_prep_substr(
-    spark: SparkSession, sf_dir: str, storage_level=None
+    spark: SparkSession, sf_dir: str, storage_level=None, emit_text: bool = False
 ) -> DataFrame:
     """corpus_prep upgraded to the modern dedup standard: the doc-level
     chain (decontaminate -> stratified sample -> exact dedup) from
@@ -470,9 +591,20 @@ def q_corpus_prep_substr(
     )
     rspans = _spans_from_starts(removal)
     survivors = _survivor_coverage(canon, rspans)
+    passengers = ["removed_tokens", "source"]
+    if emit_text:
+        # the ship-step passenger: post-removal text per survivor (same
+        # in-row filter as q_dedup_substr_apply, over the survivor set);
+        # pytest-pinned (len(split(kept_text)) == n_tok) — the driver
+        # compares the default report form
+        applied = _apply_removals(canon.select("doc_id", "norm"), rspans)
+        survivors = survivors.join(
+            applied.select("doc_id", "kept_text"), "doc_id"
+        )
+        passengers.append("kept_text")
     return pack_offsets(
         survivors.where(F.col("n_tok") > 0),
-        passengers=["removed_tokens", "source"],
+        passengers=passengers,
     )
 
 
@@ -574,9 +706,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_paras, n_dup_paras, kept_text — '' when everything was
     someone else's paragraph first).
 
-    Scale: one fingerprint shuffle (row_number over tiny per-fp
-    occurrence lists) + one doc_id shuffle for the re-assembly; chunking
-    itself is in-row (sequence + slice), no Python anywhere."""
+    Scale: one fingerprint partial-agg shuffle (min-struct canonical
+    pick — map-side combine, skew-immune like _keep_first_removals; a
+    boilerplate paragraph shared by 10^7 docs reduces per map task) +
+    one keyed join back + one doc_id shuffle for the re-assembly;
+    chunking itself is in-row (sequence + slice), no Python anywhere."""
     nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
     n_chunks = F.ceil(F.size("t") / F.lit(_PARA_TOK)).cast("int")
     chunks = F.transform(
@@ -588,19 +722,23 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paras = nd.select(
         "doc_id", F.posexplode(chunks).alias("para_idx", "para")
     ).withColumn("fp", _hex15(F.col("para")))
-    w_fp = Window.partitionBy("fp").orderBy(
-        F.col("doc_id").asc(), F.col("para_idx").asc()
+    keep = paras.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("keep")
     )
-    ranked = paras.withColumn("rnk", F.row_number().over(w_fp))
-    return ranked.groupBy("doc_id").agg(
+    marked = paras.join(keep, "fp").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("keep.doc_id"))
+        & (F.col("para_idx") == F.col("keep.para_idx")),
+    )
+    return marked.groupBy("doc_id").agg(
         F.count("*").alias("n_paras"),
-        F.sum((F.col("rnk") > 1).cast("bigint")).alias("n_dup_paras"),
+        F.sum((~F.col("is_first")).cast("bigint")).alias("n_dup_paras"),
         F.array_join(
             F.transform(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("rnk") == 1,
+                            F.col("is_first"),
                             F.struct("para_idx", "para"),
                         )
                     )
@@ -663,21 +801,13 @@ def _incremental_removal_starts(
     """(doc_id, start0) removal candidates for a new batch vs an index:
     index hits are removed outright (the corpus already owns that
     content); index misses dedup keep-first within the batch. Two keyed
-    joins on the compact fingerprint + one row_number over per-fp
-    occurrence lists — the batch never joins itself pairwise, and the
-    index relation needs only its fp column."""
+    joins on the compact fingerprint + the skew-safe min-struct
+    keep-first agg (_keep_first_removals) — the batch never joins
+    itself pairwise, and the index relation needs only its fp column."""
     idx = index_fps.select("fp").distinct()
     hit = new_wins.join(idx, "fp", "leftsemi").select("doc_id", "start0")
     miss = new_wins.join(idx, "fp", "left_anti")
-    w_fp = Window.partitionBy("fp").orderBy(
-        F.col("doc_id").asc(), F.col("start0").asc()
-    )
-    batch_dup = (
-        miss.withColumn("rnk", F.row_number().over(w_fp))
-        .where(F.col("rnk") > 1)
-        .select("doc_id", "start0")
-    )
-    return hit.unionByName(batch_dup)
+    return hit.unionByName(_keep_first_removals(miss))
 
 
 def build_substr_index(
@@ -764,13 +894,27 @@ FROM (
 """
 
 
-def q_substr_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_substr_dup_rate(
+    spark: SparkSession,
+    sf_dir: str,
+    per_doc: DataFrame | None = None,
+    storage_level="MEMORY_AND_DISK",
+) -> DataFrame:
     """Corpus observability rollup: per source, total tokens, tokens
     inside dup spans, doc counts, and the duplication rate in ppm — the
     one-page answer to 'how redundant is each feed?' that decides
     whether the substring pass is worth running on it. Pure partial-agg
-    over the per-doc report (one extra tiny shuffle on source)."""
-    per_doc = q_dedup_substrings(spark, sf_dir)
+    over the per-doc report (one extra tiny shuffle on source).
+
+    A pipeline that already holds the per-doc report (q_dedup_substrings
+    output — the artifact a dedup run signs off on) passes it as
+    ``per_doc`` and pays ONLY the rollup; standalone invocations
+    re-derive it with the window stage persisted by default so the
+    costliest chain in the suite is scanned once, not twice, for a
+    rollup of a few rows (semantics identical either way — pinned by
+    the persist-knob equality test)."""
+    if per_doc is None:
+        per_doc = q_dedup_substrings(spark, sf_dir, storage_level=storage_level)
     src = _docs(spark, sf_dir).select("doc_id", "source")
     return (
         per_doc.join(src, "doc_id")
@@ -822,5 +966,6 @@ QUERIES: dict[str, tuple] = {
         q_dedup_substr_keep_first,
         SQL_DEDUP_SUBSTR_KEEP_FIRST,
     ),
+    "dedup_substr_apply": (q_dedup_substr_apply, SQL_DEDUP_SUBSTR_APPLY),
     "corpus_prep_substr": (q_corpus_prep_substr, _corpus_prep_substr_sql()),
 }

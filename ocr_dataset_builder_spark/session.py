@@ -64,14 +64,25 @@ def get_spark(
         # (returning with them unapplied is how the bench's
         # showConsoleProgress flag would quietly stop working)
         for key, value in (extra_conf or {}).items():
+            applied = False
             try:
                 active.conf.set(key, value)
+                # conf.set accepting the key is NOT proof it took effect:
+                # non-SQL confs (spark.ui.showConsoleProgress, memory,
+                # cores...) are stored but ignored after SparkContext
+                # launch. Only the runtime-mutable spark.sql.* namespace
+                # is known-effective post-launch.
+                applied = key.startswith("spark.sql.")
             except Exception:
+                applied = False
+            if not applied:
                 import warnings
 
                 warnings.warn(
-                    f"get_spark: static conf {key!r} cannot be applied to "
-                    "the already-active SparkSession; value unchanged",
+                    f"get_spark: conf {key!r} was requested on an "
+                    "already-active SparkSession; non-spark.sql.* settings "
+                    "do not take effect after SparkContext launch — start "
+                    "a fresh session if this knob matters",
                     RuntimeWarning,
                     stacklevel=2,
                 )

@@ -52,11 +52,25 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     executed ON EXECUTORS via mapInPandas over the path list. Total
     cost is O(shards), never O(rows) — validate_export on a petabyte
     export reads footers, not the dataset. (Listing uses os.walk, so
-    posix/local mounts; a cloud-store deployment swaps in its lister.)"""
+    posix/local mounts ONLY; a cloud-store deployment swaps in its
+    lister — and until it does, URI-schemed paths are a hard error, not
+    an empty manifest: os.walk would silently yield nothing for
+    s3://... and validate_export would report 'wrote 0, expected N'.)"""
     import os as _os
 
     from pyspark.sql import functions as F
 
+    if "://" in path:
+        raise ValueError(
+            f"read_manifest lists shards with os.walk (local paths only); "
+            f"got URI-schemed path {path!r} — swap in a filesystem lister "
+            "for this scheme (returning an empty manifest here would "
+            "silently report zero shards)"
+        )
+    if not _os.path.isdir(path):
+        raise ValueError(
+            f"read_manifest: export directory does not exist: {path!r}"
+        )
     shard_paths = []
     for root, dirs, files in _os.walk(path):
         # prune hidden/temporary directories IN PLACE (the Hadoop

@@ -82,16 +82,43 @@ def _checkpoint_run_prefix(checkpoint_dir: str, run_id: str) -> str:
     carries no marker — the first post-upgrade invocation's run_id
     becomes the prefix, so that invocation MUST pass the original
     run_id or a re-delivered in-flight batch would still stage under a
-    new name. The marker is written atomically (tmp + rename) so a
-    crash mid-write can never install an empty prefix."""
+    new name. The marker is installed atomically AND exclusively
+    (fully-written tmp + os.link, which fails if the marker exists):
+    when two processes race the first start, exactly one wins the link
+    and the loser ADOPTS the winner's prefix from the read-back — the
+    earlier tmp+os.replace flow was last-wins, so the loser could keep
+    committing under a prefix that differed from the stored marker,
+    recreating the double-commit hazard the marker exists to prevent."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, "RUN_PREFIX")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            stored = fh.read().strip()
-        if stored:
-            return stored
-    tmp = marker + ".tmp"
+
+    def _read_marker() -> str:
+        try:
+            with open(marker) as fh:
+                return fh.read().strip()
+        except FileNotFoundError:
+            return ""
+
+    stored = _read_marker()
+    if stored:
+        return stored
+    tmp = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(run_id)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, marker)  # atomic + exclusive: first writer wins
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+    stored = _read_marker()
+    if stored:
+        return stored
+    # unreachable unless the marker was externally truncated: link only
+    # ever installs a fully-written file — repair it last-wins
+    tmp = f"{marker}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write(run_id)
         fh.flush()

@@ -28,11 +28,19 @@ N4_CORES = os.environ.get("SCALE_4N", "16")
 
 
 def run_bench(cpus: str) -> dict:
+    import tempfile
+
+    # the printed line is a compact summary (driver-tail-safe); the FULL
+    # per-query map lives in the result file — read that
+    out_file = os.path.join(
+        tempfile.mkdtemp(prefix=f"odb_scale_{cpus}_"), "bench.json"
+    )
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_CPUS=cpus,
         SPARK_GRAFT_BENCH_REP=REP,
+        SPARK_GRAFT_BENCH_OUT=out_file,
         # steady-state capability estimator: best-of-N isolates the
         # engine from multi-tenant neighbor spikes (the per-query
         # regression table uses medians; the scaling ratio must not
@@ -42,7 +50,7 @@ def run_bench(cpus: str) -> dict:
         # heap scales with parallelism (same GiB/core at both levels)
         SPARK_DRIVER_MEM=f"{max(8, 3 * int(cpus))}g",
     )
-    out = subprocess.run(
+    subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
@@ -50,8 +58,8 @@ def run_bench(cpus: str) -> dict:
         timeout=3600,
         check=True,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    with open(out_file) as fh:
+        return json.load(fh)
 
 
 def main() -> None:

@@ -90,6 +90,38 @@ def test_connected_components_long_path(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_keep_first_hot_fingerprint_at_scale(spark):
+    """2,000 identical docs: every window fingerprint carries 2,000
+    occurrences — the hot-fp shape that a row_number window would pin on
+    one task. The min-struct keep-first form must (a) plan with NO
+    Window node and (b) stay exact: one keeper doc, everyone else fully
+    removable, the removal count exactly (n_docs-1) * windows_per_doc."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_dataset_builder_spark import queries_substr as qs
+
+    n = 2000
+    text = "hot boilerplate fingerprint row repeated across every single document here"
+    tmp = tempfile.mkdtemp(prefix="odb_hotfp_")
+    try:
+        spark.createDataFrame(
+            [(i, text, "en", "web", len(text)) for i in range(n)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        removal = qs._removal_starts(spark, tmp)
+        plan = removal._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        n_tok = len(text.split())
+        wins_per_doc = n_tok - qs._SUBSTR_W + 1
+        assert removal.count() == (n - 1) * wins_per_doc
+        keepers = removal.select("doc_id").distinct().collect()
+        assert {r["doc_id"] for r in keepers} == set(range(1, n))  # doc 0 kept
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_substr_dedup_on_degenerate_corpus_is_linear_and_exact(spark, degenerate_dir):
     """All-identical corpus: every window is duplicated, yet the
     substring machinery has NO pair expansion to cap — occurrence lists

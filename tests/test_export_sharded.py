@@ -61,6 +61,18 @@ def test_validate_export_raises_on_mismatch(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_read_manifest_rejects_uri_schemes_and_missing_dirs(spark):
+    """os.walk yields nothing for URI-schemed or missing paths; that
+    must be a loud error, never a silently empty manifest (a caller
+    would conclude zero shards were written)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="URI-schemed"):
+        read_manifest(spark, "s3://bucket/export")
+    with pytest.raises(ValueError, match="does not exist"):
+        read_manifest(spark, "/nonexistent/odb/export/dir")
+
+
 def test_manifest_ignores_temporary_and_hidden_dirs(spark, sf_dir):
     """A killed writer's _temporary/.../part-*.parquet (or a hidden
     dir's files) must never be counted as committed shards — the walk

@@ -192,6 +192,36 @@ def test_pdf_decode_stub_raises():
         decode_pdf(b"%PDF-1.4")
 
 
+def test_run_prefix_loser_adopts_winner(tmp_path, monkeypatch):
+    """First-start race: if another process installs the marker between
+    our existence check and our exclusive link, we must ADOPT its
+    prefix — the pre-fix last-wins os.replace let the loser keep
+    committing under a prefix that differed from the stored marker
+    (double-commit hazard on re-delivery)."""
+    from ocr_dataset_builder_spark.streaming import daemon as dmod
+
+    ckdir = str(tmp_path / "ck")
+    os.makedirs(ckdir)
+    marker = os.path.join(ckdir, "RUN_PREFIX")
+    real_link = os.link
+
+    def racing_link(src, dst, *a, **kw):
+        # the competing process lands its fully-written marker first
+        with open(marker + ".w", "w") as fh:
+            fh.write("winner0")
+        os.replace(marker + ".w", marker)
+        return real_link(src, dst, *a, **kw)  # -> FileExistsError
+
+    monkeypatch.setattr(os, "link", racing_link)
+    got = dmod._checkpoint_run_prefix(ckdir, "loser1")
+    assert got == "winner0"
+    with open(marker) as fh:
+        assert fh.read().strip() == "winner0"
+    # and a later clean start still adopts the stored prefix
+    monkeypatch.setattr(os, "link", real_link)
+    assert dmod._checkpoint_run_prefix(ckdir, "later2") == "winner0"
+
+
 def test_mode_swap_shares_batch_run_prefix(spark, sf_dir):
     """The batch run prefix is owned by the STREAM CHECKPOINT, not the
     caller: draining with availableNow under one run_id, then resuming

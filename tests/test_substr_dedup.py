@@ -333,6 +333,92 @@ def test_substr_spans_match_brute_force_randomized(spark):
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_keep_first_plan_has_no_window(spark, sf_dir):
+    """Skew gate (round-4 verdict #1): the keep-first ranking must be a
+    min-struct partial agg + join, never a row_number window over the
+    fingerprint — a window pins every occurrence of a hot boilerplate
+    fingerprint on one task's sort, and AQE skew-splitting only applies
+    to joins. The removal-starts subplans must contain NO Window node at
+    all (the doc_id windows belong to the downstream span/coverage
+    stages, not here)."""
+    from pyspark.sql import functions as F
+
+    plans = [
+        qs._removal_starts(spark, sf_dir),
+        qs._incremental_removal_starts(
+            qs._windows(spark, sf_dir).where(F.col("doc_id") % 10 >= 8),
+            qs._windows(spark, sf_dir).where(F.col("doc_id") % 10 < 8),
+        ),
+        qs.q_paragraph_dedup(spark, sf_dir),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        # the canonical pick must be a real partial agg (map-side combine)
+        assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_dedup_substr_apply_token_accounting(spark, substr_dir, sf_dir):
+    """The apply step's kept_text re-splits to exactly n_kept tokens,
+    and n_kept agrees with the keep-first report's removed_tokens
+    (kept = total - removed) on both the hand-built fixture and the
+    synthetic corpus."""
+    for d in (substr_dir, sf_dir):
+        removed = {
+            r["doc_id"]: r["removed_tokens"]
+            for r in qs.q_dedup_substr_keep_first(spark, d).collect()
+        }
+        rows = qs.q_dedup_substr_apply(spark, d).collect()
+        assert len(rows) == len(removed)
+        for r in rows:
+            n_split = len(r["kept_text"].split(" ")) if r["kept_text"] else 0
+            assert n_split == r["n_kept"], r
+            assert r["n_kept"] == r["n_tokens"] - removed[r["doc_id"]], r
+
+
+def test_dedup_substr_apply_fixture_text(spark, substr_dir):
+    """Exact post-removal text on the hand-built corpus: doc 2 loses its
+    whole shared run (keeps only the 'zz' prefix), doc 3 keeps the first
+    in-doc occurrence plus the separator, doc 4 is untouched."""
+    got = {
+        r["doc_id"]: r["kept_text"]
+        for r in qs.q_dedup_substr_apply(spark, substr_dir).collect()
+    }
+    assert got[1] == " ".join(f"a{i}" for i in range(10))  # canonical: intact
+    assert got[2] == "zz"
+    assert got[3] == " ".join(f"c{i}" for i in range(8)) + " cx"
+    assert got[4] == " ".join(f"d{i}" for i in range(20))
+    assert got[6] == ""  # fully removed (E owns the canonical window)
+
+
+def test_corpus_prep_substr_emit_text(spark, sf_dir):
+    """emit_text=True carries the ship-step text per survivor without
+    changing the report columns' values; kept_text re-splits to n_tok."""
+    pure = {
+        r["doc_id"]: (r["n_tok"], r["start_off"], r["removed_tokens"])
+        for r in qs.q_corpus_prep_substr(spark, sf_dir).collect()
+    }
+    rows = qs.q_corpus_prep_substr(spark, sf_dir, emit_text=True).collect()
+    assert {
+        r["doc_id"]: (r["n_tok"], r["start_off"], r["removed_tokens"])
+        for r in rows
+    } == pure
+    for r in rows:
+        assert len(r["kept_text"].split(" ")) == r["n_tok"], r
+
+
+def test_substr_dup_rate_composed_equals_standalone(spark, sf_dir):
+    """The rollup over an externally supplied per-doc report equals the
+    standalone (default-persisted) form."""
+    per_doc = qs.q_dedup_substrings(spark, sf_dir)
+    composed = sorted(
+        map(tuple, qs.q_substr_dup_rate(spark, sf_dir, per_doc=per_doc).collect())
+    )
+    standalone = sorted(map(tuple, qs.q_substr_dup_rate(spark, sf_dir).collect()))
+    assert composed == standalone
+    spark.catalog.clearCache()
+
+
 def test_file_index_matches_in_plan_incremental(spark, sf_dir):
     """The stored-index pipeline path (build_substr_index ->
     dedup_against_index) produces exactly the in-plan registered
