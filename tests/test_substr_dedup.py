@@ -284,14 +284,21 @@ def _brute_force_spans(docs: dict, w: int):
         ]
 
     dup_spans, removal_spans = set(), set()
+    kept_text = {}
     for did, ws in wins.items():
         dup = [i for i, g in enumerate(ws) if cnt[g] >= 2]
         rem = [i for i in dup if first[ws[i]] != (did, i)]
         for sp in islands(dup):
             dup_spans.add((did,) + sp)
+        removed_pos = set()
         for sp in islands(rem):
             removal_spans.add((did,) + sp)
-    return dup_spans, removal_spans
+            removed_pos.update(range(sp[0], sp[1] + 1))
+        toks = docs[did]
+        kept_text[did] = " ".join(
+            t for i, t in enumerate(toks) if i not in removed_pos
+        )
+    return dup_spans, removal_spans, kept_text
 
 
 def test_substr_spans_match_brute_force_randomized(spark):
@@ -318,7 +325,7 @@ def test_substr_spans_match_brute_force_randomized(spark):
                 rows,
                 "doc_id bigint, text string, lang string, source string, n_chars bigint",
             ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
-            exp_dup, exp_rem = _brute_force_spans(docs, qs._SUBSTR_W)
+            exp_dup, exp_rem, exp_kept = _brute_force_spans(docs, qs._SUBSTR_W)
             got_dup = {
                 (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"], r["span_tokens"])
                 for r in qs.q_substr_dup_spans(spark, tmp).collect()
@@ -329,6 +336,11 @@ def test_substr_spans_match_brute_force_randomized(spark):
             }
             assert got_dup == exp_dup, f"seed {seed}: dup spans diverge"
             assert got_rem == exp_rem, f"seed {seed}: removal spans diverge"
+            got_kept = {
+                r["doc_id"]: r["kept_text"]
+                for r in qs.q_dedup_substr_apply(spark, tmp).collect()
+            }
+            assert got_kept == exp_kept, f"seed {seed}: apply text diverges"
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
