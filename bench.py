@@ -172,6 +172,7 @@ def main() -> None:
     from ocr_dataset_builder_spark import queries_quality as qq
 
     timed("quality_repetition", qq.q_quality_repetition(spark, SF_DIR))
+    timed("dedup_cross_source", qq.q_dedup_cross_source(spark, SF_DIR))
     timed("decontaminate", qq.q_decontaminate(spark, SF_DIR))
     timed("doc_chunking", qq.q_doc_chunking(spark, SF_DIR))
     timed("pack_blocks", qq.q_pack_blocks(spark, SF_DIR))

@@ -630,7 +630,7 @@ def _survivor_coverage(canon: DataFrame, rspans: DataFrame) -> DataFrame:
     )
 
 
-def _corpus_prep_substr_sql() -> str:
+def _corpus_prep_substr_sql(emit_text: bool = False) -> str:
     from .queries_corpus import _HEX15_SQL, _NORM_SQL
     from .queries_quality import (
         _PACK_CAP,
@@ -638,6 +638,41 @@ def _corpus_prep_substr_sql() -> str:
         _RATE_BP_SQL,
         _SHINGLE_CTE,
     )
+
+    if emit_text:
+        # kept-text derivation over the survivor set — same independent
+        # position-expansion statement as SQL_DEDUP_SUBSTR_APPLY
+        text_ctes = """,
+toksc AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM canon_docs
+),
+rem_pos AS (
+  SELECT DISTINCT doc_id,
+         CAST(unnest(range(span_start, span_end + 1)) AS INT) AS pos
+  FROM rspans
+),
+allpos AS (
+  SELECT doc_id, CAST(unnest(range(0, len(t))) AS INT) AS pos FROM toksc
+),
+keptpos AS (
+  SELECT a.doc_id, a.pos
+  FROM allpos a LEFT JOIN rem_pos r ON r.doc_id = a.doc_id AND r.pos = a.pos
+  WHERE r.doc_id IS NULL
+),
+kept_agg AS (
+  SELECT k.doc_id,
+         string_agg(t.t[k.pos + 1], ' ' ORDER BY k.pos) AS kept_text
+  FROM keptpos k JOIN toksc t ON t.doc_id = k.doc_id
+  GROUP BY k.doc_id
+)"""
+        kept_col = ",\n         coalesce(ka.kept_text, '') AS kept_text"
+        kept_join = "\n  LEFT JOIN kept_agg ka ON ka.doc_id = c.doc_id"
+        kept_pass = ", kept_text"
+    else:
+        text_ctes = ""
+        kept_col = ""
+        kept_join = ""
+        kept_pass = ""
 
     return f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
 probe AS (
@@ -662,17 +697,17 @@ canon_docs AS (
     FROM sampled
   ) WHERE doc_id = canon_id
 ),
-{_wins_cte_sql("canon_docs")}{_spans_cte_sql("removal", "rspans")}{_union_cte_sql("rspans")},
+{_wins_cte_sql("canon_docs")}{_spans_cte_sql("removal", "rspans")}{_union_cte_sql("rspans")}{text_ctes},
 survivors AS (
   SELECT c.doc_id, c.source,
          CAST(len(string_split(c.norm, ' ')) AS BIGINT)
            - CAST(coalesce(m.cov_tokens, 0) AS BIGINT) AS n_tok,
-         CAST(coalesce(m.cov_tokens, 0) AS BIGINT) AS removed_tokens
+         CAST(coalesce(m.cov_tokens, 0) AS BIGINT) AS removed_tokens{kept_col}
   FROM canon_docs c
-  LEFT JOIN merged m ON m.doc_id = c.doc_id
+  LEFT JOIN merged m ON m.doc_id = c.doc_id{kept_join}
 ),
 o AS (
-  SELECT doc_id, source, n_tok, removed_tokens,
+  SELECT doc_id, source, n_tok, removed_tokens{kept_pass},
          CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS start_off
@@ -682,7 +717,7 @@ SELECT doc_id, n_tok, start_off,
        CAST(floor(start_off / {_PACK_CAP}) AS BIGINT) AS first_block,
        CAST(floor((start_off + n_tok - 1) / {_PACK_CAP})
             - floor(start_off / {_PACK_CAP}) + 1 AS BIGINT) AS n_blocks,
-       removed_tokens, source
+       removed_tokens, source{kept_pass}
 FROM o
 """
 
@@ -968,4 +1003,11 @@ QUERIES: dict[str, tuple] = {
     ),
     "dedup_substr_apply": (q_dedup_substr_apply, SQL_DEDUP_SUBSTR_APPLY),
     "corpus_prep_substr": (q_corpus_prep_substr, _corpus_prep_substr_sql()),
+    # the ship form: same composed deliverable carrying each survivor's
+    # post-removal text (Spark: the _apply_removals passenger; oracle:
+    # the independent position-expansion statement over the survivors)
+    "corpus_prep_substr_text": (
+        lambda spark, sf_dir: q_corpus_prep_substr(spark, sf_dir, emit_text=True),
+        _corpus_prep_substr_sql(emit_text=True),
+    ),
 }
