@@ -503,22 +503,25 @@ def q_dedup_substr_apply(
     )
 
 
-# the oracle re-derives kept positions INDEPENDENTLY: per-span position
-# ranges (range() list expansion) anti-joined against all token
-# positions, then re-assembled with an ordered string_agg — no shared
-# interval-union machinery with the Spark side's in-row filter
-SQL_DEDUP_SUBSTR_APPLY = f"""WITH {_NORM_CTE},
-{_WINS_CTE}{_spans_cte_sql("removal", "rspans")},
-toks2 AS (
-  SELECT doc_id, string_split(norm, ' ') AS t FROM norm_docs
+def _kept_text_ctes(src: str, toks: str, spans: str = "rspans") -> str:
+    """Kept-text CTE chain over a (doc_id, norm) relation ``src`` and a
+    removal-span CTE ``spans`` — the oracle re-derives kept positions
+    INDEPENDENTLY of the Spark side's in-row filter: per-span position
+    ranges (range() list expansion) anti-joined against all token
+    positions, re-assembled with an ordered string_agg. Emits CTEs
+    ``{toks}``, rem_pos, allpos, keptpos, kept_agg — the ONE statement
+    both SQL_DEDUP_SUBSTR_APPLY and the composed corpus_prep oracle use
+    (same single-definition discipline as _spans_cte_sql)."""
+    return f"""{toks} AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM {src}
 ),
 rem_pos AS (
   SELECT DISTINCT doc_id,
          CAST(unnest(range(span_start, span_end + 1)) AS INT) AS pos
-  FROM rspans
+  FROM {spans}
 ),
 allpos AS (
-  SELECT doc_id, CAST(unnest(range(0, len(t))) AS INT) AS pos FROM toks2
+  SELECT doc_id, CAST(unnest(range(0, len(t))) AS INT) AS pos FROM {toks}
 ),
 keptpos AS (
   SELECT a.doc_id, a.pos
@@ -528,9 +531,14 @@ keptpos AS (
 kept_agg AS (
   SELECT k.doc_id, count(*) AS n_kept,
          string_agg(t.t[k.pos + 1], ' ' ORDER BY k.pos) AS kept_text
-  FROM keptpos k JOIN toks2 t ON t.doc_id = k.doc_id
+  FROM keptpos k JOIN {toks} t ON t.doc_id = k.doc_id
   GROUP BY k.doc_id
-)
+)"""
+
+
+SQL_DEDUP_SUBSTR_APPLY = f"""WITH {_NORM_CTE},
+{_WINS_CTE}{_spans_cte_sql("removal", "rspans")},
+{_kept_text_ctes("norm_docs", "toks2")}
 SELECT t.doc_id,
        CAST(len(t.t) AS BIGINT) AS n_tokens,
        CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
@@ -640,31 +648,10 @@ def _corpus_prep_substr_sql(emit_text: bool = False) -> str:
     )
 
     if emit_text:
-        # kept-text derivation over the survivor set — same independent
-        # position-expansion statement as SQL_DEDUP_SUBSTR_APPLY
-        text_ctes = """,
-toksc AS (
-  SELECT doc_id, string_split(norm, ' ') AS t FROM canon_docs
-),
-rem_pos AS (
-  SELECT DISTINCT doc_id,
-         CAST(unnest(range(span_start, span_end + 1)) AS INT) AS pos
-  FROM rspans
-),
-allpos AS (
-  SELECT doc_id, CAST(unnest(range(0, len(t))) AS INT) AS pos FROM toksc
-),
-keptpos AS (
-  SELECT a.doc_id, a.pos
-  FROM allpos a LEFT JOIN rem_pos r ON r.doc_id = a.doc_id AND r.pos = a.pos
-  WHERE r.doc_id IS NULL
-),
-kept_agg AS (
-  SELECT k.doc_id,
-         string_agg(t.t[k.pos + 1], ' ' ORDER BY k.pos) AS kept_text
-  FROM keptpos k JOIN toksc t ON t.doc_id = k.doc_id
-  GROUP BY k.doc_id
-)"""
+        # kept-text derivation over the survivor set — the SAME
+        # statement as SQL_DEDUP_SUBSTR_APPLY, parameterized on the
+        # source relation
+        text_ctes = ",\n" + _kept_text_ctes("canon_docs", "toksc")
         kept_col = ",\n         coalesce(ka.kept_text, '') AS kept_text"
         kept_join = "\n  LEFT JOIN kept_agg ka ON ka.doc_id = c.doc_id"
         kept_pass = ", kept_text"
@@ -933,7 +920,7 @@ def q_substr_dup_rate(
     spark: SparkSession,
     sf_dir: str,
     per_doc: DataFrame | None = None,
-    storage_level="MEMORY_AND_DISK",
+    storage_level=None,
 ) -> DataFrame:
     """Corpus observability rollup: per source, total tokens, tokens
     inside dup spans, doc counts, and the duplication rate in ppm — the
@@ -943,11 +930,13 @@ def q_substr_dup_rate(
 
     A pipeline that already holds the per-doc report (q_dedup_substrings
     output — the artifact a dedup run signs off on) passes it as
-    ``per_doc`` and pays ONLY the rollup; standalone invocations
-    re-derive it with the window stage persisted by default so the
-    costliest chain in the suite is scanned once, not twice, for a
-    rollup of a few rows (semantics identical either way — pinned by
-    the persist-knob equality test)."""
+    ``per_doc`` and pays ONLY the rollup (~0.14 s at sf0.1 vs the ~2.5 s
+    chain — the form bench.py measures); standalone invocations can opt
+    into ``storage_level`` to compute the window stage once instead of
+    twice. The registered default stays pure: _maybe_persist's contract
+    is that persistence is opt-in (a default persist leaks a cache entry
+    per invocation for the session lifetime). Semantics are identical on
+    every path — pinned by the composed-equals-standalone test."""
     if per_doc is None:
         per_doc = q_dedup_substrings(spark, sf_dir, storage_level=storage_level)
     src = _docs(spark, sf_dir).select("doc_id", "source")

@@ -64,6 +64,14 @@ def get_spark(
         # (returning with them unapplied is how the bench's
         # showConsoleProgress flag would quietly stop working)
         for key, value in (extra_conf or {}).items():
+            # already carrying the requested value (e.g. it was applied
+            # at builder time by the call that created this session):
+            # nothing to do, and no warning — the knob IS in effect
+            try:
+                if active.conf.get(key) == value:
+                    continue
+            except Exception:
+                pass
             applied = False
             try:
                 active.conf.set(key, value)

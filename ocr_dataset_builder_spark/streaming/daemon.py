@@ -50,6 +50,10 @@ def _batch_processor(output_dir: str, run_id: str, processed: dict):
     never a rescan of the whole output history."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..lineage import read_checkpoint
+
         if batch_df.isEmpty():
             return
         batch_run_id = f"{run_id}-b{batch_id}"
@@ -60,9 +64,21 @@ def _batch_processor(output_dir: str, run_id: str, processed: dict):
             batch_df.sparkSession.read.schema(extracted.schema).parquet(staged)
         )
         n = metrics.count()
-        if n:
+        # a batch re-delivered AFTER its commit (crash between commit and
+        # the stream-checkpoint write) recomputes + overwrites its staging
+        # (repairing any partial overwrite) but must not re-append the
+        # checkpoint rows — a duplicate set double-counts the run for
+        # lineage readers
+        already_committed = (
+            read_checkpoint(batch_df.sparkSession, output_dir)
+            .where(F.col("run_id") == batch_run_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if n and not already_committed:
             commit_run(batch_df.sparkSession, output_dir, batch_run_id, metrics)
-        processed["n"] += n
+            processed["n"] += n
 
     return _process
 
@@ -102,28 +118,33 @@ def _checkpoint_run_prefix(checkpoint_dir: str, run_id: str) -> str:
     stored = _read_marker()
     if stored:
         return stored
-    tmp = f"{marker}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write(run_id)
-        fh.flush()
-        os.fsync(fh.fileno())
+    def _write_tmp() -> str:
+        tmp = f"{marker}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(run_id)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return tmp
+
+    tmp = _write_tmp()
     try:
         os.link(tmp, marker)  # atomic + exclusive: first writer wins
-    except FileExistsError:
-        pass
-    finally:
         os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+    except OSError:
+        # filesystem without hard-link support (FUSE object stores,
+        # SMB): degrade to the atomic-but-last-wins install — same
+        # guarantee the pre-link code gave there, rather than failing
+        # every daemon start on such mounts
+        os.replace(tmp, marker)
+        return run_id
     stored = _read_marker()
     if stored:
         return stored
     # unreachable unless the marker was externally truncated: link only
     # ever installs a fully-written file — repair it last-wins
-    tmp = f"{marker}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write(run_id)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, marker)
+    os.replace(_write_tmp(), marker)
     return run_id
 
 

@@ -25,8 +25,10 @@ Idempotence detail: a batch re-delivered AFTER its commit (crash between
 commit_run and the stream-checkpoint write) re-reads the index with its
 OWN delta excluded — otherwise the replay would dedup the batch against
 its own fingerprints, stage empty text, and corrupt the overwrite. With
-the exclusion, the replay recomputes byte-identical outputs and the
-overwrite is a no-op (pinned by test).
+the exclusion, the replay recomputes byte-identical outputs, the
+overwrite is a no-op, and the commit is SKIPPED (the run_id is already
+in the checkpoint — re-appending would double the lineage rollups and
+inflate the processed counter). Pinned by test.
 """
 
 from __future__ import annotations
@@ -154,9 +156,21 @@ def _dedup_batch_processor(
                 ).alias("dedup_ratio"),
             )
             n = metrics.count()
-            if n:
+            # replay of an ALREADY-COMMITTED batch: the recompute above
+            # repairs any partially-overwritten staging from a crashed
+            # earlier replay, but the commit must not re-append — the
+            # checkpoint/lineage rows exist and a duplicate set would
+            # double-count the run for lineage readers
+            already_committed = (
+                read_checkpoint(spark, output_dir)
+                .where(F.col("run_id") == batch_run)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if n and not already_committed:
                 commit_run(spark, output_dir, batch_run, metrics)
-            processed["n"] += n
+                processed["n"] += n
         finally:
             wins.unpersist()
 

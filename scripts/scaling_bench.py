@@ -28,13 +28,13 @@ N4_CORES = os.environ.get("SCALE_4N", "16")
 
 
 def run_bench(cpus: str) -> dict:
+    import shutil
     import tempfile
 
     # the printed line is a compact summary (driver-tail-safe); the FULL
     # per-query map lives in the result file — read that
-    out_file = os.path.join(
-        tempfile.mkdtemp(prefix=f"odb_scale_{cpus}_"), "bench.json"
-    )
+    out_dir = tempfile.mkdtemp(prefix=f"odb_scale_{cpus}_")
+    out_file = os.path.join(out_dir, "bench.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
@@ -58,8 +58,11 @@ def run_bench(cpus: str) -> dict:
         timeout=3600,
         check=True,
     )
-    with open(out_file) as fh:
-        return json.load(fh)
+    try:
+        with open(out_file) as fh:
+            return json.load(fh)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def main() -> None:

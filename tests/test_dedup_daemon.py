@@ -103,10 +103,16 @@ def test_dedup_daemon_incremental_and_replay(spark):
         prefix = _checkpoint_run_prefix(
             os.path.join(out_dir, "_stream_checkpoint"), "ignored"
         )
+        from ocr_dataset_builder_spark.lineage import read_checkpoint
         from ocr_dataset_builder_spark.queries_substr import _SUBSTR_W
 
+        ck_before = sorted(
+            (r["doc_id"], r["run_id"])
+            for r in read_checkpoint(spark, out_dir).collect()
+        )
+        replay_counter = {"n": 0}
         proc = _dedup_batch_processor(
-            out_dir, idx_dir, prefix, {"n": 0}, _SUBSTR_W
+            out_dir, idx_dir, prefix, replay_counter, _SUBSTR_W
         )
         # batch 0 was day 1 (first availableNow pass), batch 1 day 2
         proc(spark.createDataFrame(_DAY1, DOCS_SCHEMA), 0)
@@ -117,6 +123,14 @@ def test_dedup_daemon_incremental_and_replay(spark):
         assert after_rows == before_rows
         idx3 = {r["fp"]: r["n_occ"] for r in read_index(spark, idx_dir, out_dir).collect()}
         assert idx3 == idx1
+        # an already-committed batch must neither re-append checkpoint
+        # rows (duplicate lineage) nor count as newly processed
+        ck_after = sorted(
+            (r["doc_id"], r["run_id"])
+            for r in read_checkpoint(spark, out_dir).collect()
+        )
+        assert ck_after == ck_before
+        assert replay_counter["n"] == 0
     finally:
         for d in (in_dir, out_dir, idx_dir):
             shutil.rmtree(d, ignore_errors=True)

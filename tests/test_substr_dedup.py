@@ -421,13 +421,22 @@ def test_corpus_prep_substr_emit_text(spark, sf_dir):
 
 def test_substr_dup_rate_composed_equals_standalone(spark, sf_dir):
     """The rollup over an externally supplied per-doc report equals the
-    standalone (default-persisted) form."""
+    pure standalone form, and the opt-in persist knob changes nothing."""
     per_doc = qs.q_dedup_substrings(spark, sf_dir)
     composed = sorted(
         map(tuple, qs.q_substr_dup_rate(spark, sf_dir, per_doc=per_doc).collect())
     )
     standalone = sorted(map(tuple, qs.q_substr_dup_rate(spark, sf_dir).collect()))
     assert composed == standalone
+    knob = sorted(
+        map(
+            tuple,
+            qs.q_substr_dup_rate(
+                spark, sf_dir, storage_level="MEMORY_AND_DISK"
+            ).collect(),
+        )
+    )
+    assert knob == standalone
     spark.catalog.clearCache()
 
 
