@@ -222,12 +222,13 @@ SELECT doc_id, span_start, span_end, n_windows, span_tokens FROM spans
 """
 
 
-def _merged_coverage(spans: DataFrame) -> DataFrame:
+def _merged_intervals(spans: DataFrame) -> DataFrame:
     """Interval-union merge of a (doc_id, span_start, span_end) span
-    set: per-doc (cov_tokens, cov_spans) with overlapping spans counted
-    once — the ONE implementation both the dedup report and the
-    composed corpus query use (running-max-end -> new-interval flag ->
-    interval groups)."""
+    set into DISJOINT intervals — the ONE union implementation the
+    coverage reports AND the apply step build on (running-max-end ->
+    new-interval flag -> interval groups; doc_id-partitioned windows,
+    the corpus's resting key). Output: one row per merged interval with
+    the count of source spans it absorbed."""
     w_ord = Window.partitionBy("doc_id").orderBy("span_start")
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     return (
@@ -243,12 +244,24 @@ def _merged_coverage(spans: DataFrame) -> DataFrame:
         .withColumn("iv", F.sum("new_iv").over(w_ord))
         .groupBy("doc_id", "iv")
         .agg(
-            (F.max("span_end") - F.min("span_start") + 1).alias("iv_tokens"),
+            F.min("span_start").cast("int").alias("span_start"),
+            F.max("span_end").cast("int").alias("span_end"),
             F.count("*").alias("iv_spans"),
         )
+        .drop("iv")
+    )
+
+
+def _merged_coverage(spans: DataFrame) -> DataFrame:
+    """Per-doc (cov_tokens, cov_spans) with overlapping spans counted
+    once, over the shared interval union."""
+    return (
+        _merged_intervals(spans)
         .groupBy("doc_id")
         .agg(
-            F.sum("iv_tokens").alias("cov_tokens"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+                "cov_tokens"
+            ),
             F.sum("iv_spans").alias("cov_spans"),
         )
     )
@@ -454,25 +467,54 @@ def _apply_removals(nd: DataFrame, rspans: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_kept, kept_text) over a (doc_id, norm)
     relation and a removal-span set: tokens at positions inside ANY
     removal span are dropped and the survivors re-join in original
-    order. The membership test is in-row (filter-with-index + exists
-    over the doc's collected span list — spans per doc are few after
-    islanding), so the only shuffles are the span collect and the join
-    back, both on doc_id — the key the corpus is already bucketed by."""
-    sp = rspans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    order.
+
+    Linear by construction: spans first merge into DISJOINT sorted
+    intervals (the shared _merged_intervals union, doc_id windows over
+    the tiny span relation), and the in-row step concatenates the token
+    runs BETWEEN those intervals with a single fold — O(tokens + spans)
+    per doc. A per-token membership test (filter + exists over the span
+    list) would be O(tokens * spans) in-row: an adversarial doc where
+    dup and unique windows alternate carries O(tokens) spans, turning
+    one row into a quadratic straggler task. The only shuffles are the
+    span collect and the join back, both on doc_id — the key the corpus
+    is already bucketed by."""
+    sp = (
+        _merged_intervals(rspans)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("sp")
+        )
     )
     base = nd.withColumn("t", F.split("norm", " "))
     joined = base.join(sp, "doc_id", "left")
-    # exists over a NULL span list (doc with nothing removed) is NULL;
-    # ~NULL is NULL; coalesce(…, True) keeps every token of such docs
-    kept = F.filter(
-        "t",
-        lambda tok, i: F.coalesce(
-            ~F.exists(
-                "sp",
-                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
-            ),
-            F.lit(True),
+    # fold over the sorted disjoint intervals carrying (next unconsumed
+    # 0-based position, kept tokens so far); each interval contributes
+    # the gap run before it, the finisher flushes the tail after the
+    # last interval. A doc with no spans (sp NULL) keeps everything.
+    spans_col = F.coalesce(
+        "sp", F.expr("CAST(array() AS array<struct<span_start:int,span_end:int>>)")
+    )
+    kept = F.aggregate(
+        spans_col,
+        F.struct(
+            F.lit(0).alias("prev"),
+            F.expr("CAST(array() AS array<string>)").alias("acc"),
+        ),
+        lambda st, s: F.struct(
+            (s["span_end"] + 1).alias("prev"),
+            F.concat(
+                st["acc"],
+                F.slice(
+                    F.col("t"), st["prev"] + 1, s["span_start"] - st["prev"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.slice(F.col("t"), st["prev"] + 1, F.size("t") - st["prev"]),
         ),
     )
     return joined.select(
