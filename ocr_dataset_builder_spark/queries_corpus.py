@@ -128,17 +128,22 @@ def q_dedup_exact(
     spark: SparkSession, sf_dir: str, nd: DataFrame | None = None
 ) -> DataFrame:
     """Exact dedup at scale: one shuffle on the fingerprint; canonical doc
-    is the min doc_id per group (deterministic)."""
+    is the min doc_id per group (deterministic).
+
+    Skew-safe form: the per-group (count, min) is a map-side-combined
+    partial agg joined back on fp — NOT a window over fp. A window sends
+    every row of one fingerprint to a single task, and the hot key here
+    is the fingerprint of the single most duplicated document (10^6+
+    copies of one boilerplate page at crawl scale); the agg+join form
+    combines map-side and AQE skew-splits the join, same discipline as
+    the substring keep-first family."""
     if nd is None:
         nd = _norm_docs(spark, sf_dir)
     nd = nd.withColumn("fp", F.md5("norm"))
-    w = Window.partitionBy("fp")
-    return nd.select(
-        "doc_id",
-        "fp",
-        F.count("*").over(w).alias("group_n"),
-        F.min("doc_id").over(w).alias("canonical_id"),
+    g = nd.groupBy("fp").agg(
+        F.count("*").alias("group_n"), F.min("doc_id").alias("canonical_id")
     )
+    return nd.join(g, "fp").select("doc_id", "fp", "group_n", "canonical_id")
 
 
 SQL_DEDUP_EXACT = f"""WITH {_NORM_CTE}
@@ -508,27 +513,8 @@ def connected_components(
 def _cc_sql() -> str:
     # reuse the kept-bucket pair derivation, then min-reachable label
     return f"""WITH RECURSIVE {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE},
-kept AS (
-  SELECT b.doc_id, b.band_id, b.band_sig
-  FROM bands b JOIN bsz s ON s.band_id = b.band_id AND s.band_sig = b.band_sig
-  WHERE s.n BETWEEN 2 AND {_LSH_BUCKET_CAP}
-),
-edges AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM kept a JOIN kept b
-    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-),
-sym AS (
-  SELECT a_id AS a, b_id AS b FROM edges
-  UNION ALL
-  SELECT b_id, a_id FROM edges
-),
-reach(doc, lab) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-  UNION
-  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.doc
-)
-SELECT doc AS doc_id, min(lab) AS comp FROM reach GROUP BY doc
+{_COMP_CTES}
+SELECT doc_id, comp FROM comp
 """
 
 
@@ -549,6 +535,32 @@ bands AS (
 bsz AS (
   SELECT band_id, band_sig, count(*) AS n FROM bands GROUP BY 1, 2
 )"""
+
+# kept-bucket pairs -> symmetric edge list -> min-reachable component
+# label. One definition shared by every oracle that consumes near-dup
+# components (_cc_sql, _dedup_corpus_sql, SQL_DEDUP_BEST_OF_CLUSTER) —
+# the enclosing statement must be WITH RECURSIVE for `reach`.
+_COMP_CTES = f"""kept AS (
+  SELECT b.doc_id, b.band_id, b.band_sig
+  FROM bands b JOIN bsz s ON s.band_id = b.band_id AND s.band_sig = b.band_sig
+  WHERE s.n BETWEEN 2 AND {_LSH_BUCKET_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM edges
+  UNION ALL
+  SELECT b_id, a_id FROM edges
+),
+reach(doc, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.doc
+),
+comp AS (SELECT doc AS doc_id, min(lab) AS comp FROM reach GROUP BY doc)"""
 
 SQL_MINHASH_LSH = f"""WITH {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE},
 kept AS (
@@ -638,27 +650,7 @@ def q_dedup_corpus(
 
 def _dedup_corpus_sql() -> str:
     return f"""WITH RECURSIVE {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE},
-kept AS (
-  SELECT b.doc_id, b.band_id, b.band_sig
-  FROM bands b JOIN bsz s ON s.band_id = b.band_id AND s.band_sig = b.band_sig
-  WHERE s.n BETWEEN 2 AND {_LSH_BUCKET_CAP}
-),
-edges AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM kept a JOIN kept b
-    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-),
-sym AS (
-  SELECT a_id AS a, b_id AS b FROM edges
-  UNION ALL
-  SELECT b_id, a_id FROM edges
-),
-reach(doc, lab) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-  UNION
-  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.doc
-),
-comp AS (SELECT doc AS doc_id, min(lab) AS comp FROM reach GROUP BY doc),
+{_COMP_CTES},
 exact_keep AS (
   SELECT doc_id FROM (
     SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(norm)) AS canonical_id
@@ -1086,24 +1078,117 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_QUALITY_SCORE = f"""WITH {_NORM_CTE},
-base AS (
+# shared by SQL_QUALITY_SCORE and SQL_DEDUP_BEST_OF_CLUSTER (the CTE
+# name qbase avoids collisions when composed with the component CTEs)
+_QUAL_BASE_CTE = f"""qbase AS (
   SELECT doc_id,
          len(string_split(norm, ' ')) AS n_tokens,
          len(list_filter(string_split(norm, ' '), x -> x IN {_STOPWORDS!r})) AS stop_hits,
          length(replace(norm, ' ', '')) AS nchars,
          length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha
   FROM norm_docs
-)
+)"""
+
+_QUAL_EXPR_SQL = """floor((0.4 * (stop_hits / n_tokens)
+              + 0.3 * least(nchars / n_tokens / 8.0, 1.0)
+              + 0.3 * (alpha / nchars)) * 1000000.0 + 0.5) / 1000000.0"""
+
+SQL_QUALITY_SCORE = f"""WITH {_NORM_CTE},
+{_QUAL_BASE_CTE}
 SELECT doc_id, n_tokens,
        round(stop_hits / n_tokens, 6) AS stop_ratio,
        round(nchars / n_tokens, 6) AS avg_token_len,
        round(alpha / nchars, 6) AS alpha_ratio,
-       floor((0.4 * (stop_hits / n_tokens)
-              + 0.3 * least(nchars / n_tokens / 8.0, 1.0)
-              + 0.3 * (alpha / nchars)) * 1000000.0 + 0.5) / 1000000.0 AS quality
-FROM base
+       {_QUAL_EXPR_SQL} AS quality
+FROM qbase
 """
+
+def q_dedup_best_of_cluster(
+    spark: SparkSession,
+    sf_dir: str,
+    storage_level=None,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Quality-ranked dedup: one survivor per duplicate group, chosen as
+    the HIGHEST-quality member (ties to the smallest doc_id) instead of
+    q_dedup_corpus's min-doc_id canonical — the production refinement
+    (keep the best copy of a page, not the first-crawled one; the same
+    motivation as CCNet/RefinedWeb keeping by quality bucket).
+
+    Output: one row per duplicate group — (doc_id = kept member, grp =
+    the group's component label, n_members = exact-canonical members in
+    the group, quality = the winner's score).
+
+    Groups compose exactly as in q_dedup_corpus: identical docs collapse
+    first (quality is a pure function of the text, so every member of an
+    exact group scores the same and the min-doc_id exact canonical is
+    the group's argmax under the doc_id tie-break), then LSH components
+    group the exact canonicals; a canonical outside any component forms
+    its own singleton group (grp = its own doc_id).
+
+    Scale shape: selection is a max(struct(quality, -doc_id)) partial
+    agg over the (already aggregated) member relation — map-side
+    combined and skew-immune, per the keep-first discipline established
+    for the substring family: NO row_number window (AQE skew-splitting
+    applies to joins and aggs, never to windows), so a degenerate
+    million-member cluster costs a combine, not a single-task sort."""
+    nd = _maybe_persist(_norm_docs(spark, sf_dir), storage_level)
+    exact_keep = (
+        q_dedup_exact(spark, sf_dir, nd=nd)
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    comps = q_near_dup_components(
+        spark,
+        sf_dir,
+        sh=_shingles(spark, sf_dir, nd=nd),
+        use_reliable_checkpoint=use_reliable_checkpoint,
+    )
+    qual = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    members = (
+        exact_keep.join(comps, "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("grp"))
+        .join(qual, "doc_id")
+    )
+    best = members.groupBy("grp").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b"),
+        F.count("*").alias("n_members"),
+    )
+    return best.select(
+        (-F.col("b.neg_id")).alias("doc_id"),
+        "grp",
+        "n_members",
+        F.col("b.quality").alias("quality"),
+    )
+
+
+SQL_DEDUP_BEST_OF_CLUSTER = f"""WITH RECURSIVE {_NORM_CTE}{_SHINGLE_CTE}{_BANDS_CTE},
+{_COMP_CTES},
+exact_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(norm)) AS canonical_id
+    FROM norm_docs
+  ) WHERE doc_id = canonical_id
+),
+{_QUAL_BASE_CTE},
+qual AS (SELECT doc_id, {_QUAL_EXPR_SQL} AS quality FROM qbase),
+members AS (
+  SELECT e.doc_id, coalesce(c.comp, e.doc_id) AS grp, q.quality
+  FROM exact_keep e
+  LEFT JOIN comp c ON c.doc_id = e.doc_id
+  JOIN qual q ON q.doc_id = e.doc_id
+),
+mx AS (
+  SELECT grp, max(quality) AS quality, CAST(count(*) AS BIGINT) AS n_members
+  FROM members GROUP BY grp
+)
+SELECT min(m.doc_id) AS doc_id, m.grp, mx.n_members, mx.quality
+FROM members m JOIN mx ON m.grp = mx.grp AND m.quality = mx.quality
+GROUP BY m.grp, mx.n_members, mx.quality
+"""
+
 
 _TOP_TERMS_K = 5
 
@@ -2217,6 +2302,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_jaccard_verify": (q_minhash_jaccard_verify, SQL_MINHASH_JACCARD_VERIFY),
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
+    "dedup_best_of_cluster": (q_dedup_best_of_cluster, SQL_DEDUP_BEST_OF_CLUSTER),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near": (q_simhash_near, SQL_SIMHASH_NEAR),
     "simhash_near_stats": (q_simhash_near_stats, SQL_SIMHASH_NEAR_STATS),

@@ -626,9 +626,11 @@ def q_corpus_prep_substr(
         < _RATE_BP_SPARK(F.col("source"))
     )
     fp = sampled.withColumn("fp", F.md5(_NORM_SPARK(F.col("text"))))
-    w = Window.partitionBy("fp")
+    # skew-safe exact-canonical filter: partial agg + join back on fp,
+    # never a window over the full-text fingerprint (hot on boilerplate)
+    canon_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
     canon = _maybe_persist(
-        fp.withColumn("canon_id", F.min("doc_id").over(w))
+        fp.join(canon_ids, "fp")
         .where(F.col("doc_id") == F.col("canon_id"))
         .select("doc_id", "source", _NORM_SPARK(F.col("text")).alias("norm")),
         storage_level,

@@ -140,3 +140,30 @@ def test_substr_dedup_on_degenerate_corpus_is_linear_and_exact(spark, degenerate
     for d, (n_tok, removed) in identical.items():
         if d != keeper:
             assert removed == n_tok, (d, n_tok, removed)  # fully removable
+
+
+def test_dedup_exact_plan_has_no_window(spark, degenerate_dir):
+    """Exact dedup's canonical pick must be a partial agg + join back on
+    the fingerprint, never a window over fp — the hot key is the
+    fingerprint of the single most duplicated page (this corpus: one fp
+    carrying 200 of 205 docs; at crawl scale, 10^6+), and a window pins
+    all of them on one task while the agg combines map-side and the
+    join AQE-skew-splits."""
+    df = qc.q_dedup_exact(spark, degenerate_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_best_of_cluster_collapses_identical(spark, degenerate_dir):
+    """The 200 identical docs form one group whose members all score the
+    same quality -> the doc_id tie-break keeps doc 0; every other copy
+    is gone. The 5 unique docs survive as their own singleton groups."""
+    rows = qc.q_dedup_best_of_cluster(spark, degenerate_dir).collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert 0 in kept
+    assert not any(1 <= d < _N_IDENTICAL for d in kept), kept[:10]
+    assert sorted(d for d in kept if d >= 1000) == [1000 + i for i in range(5)]
+    by_grp = {r["grp"]: r for r in rows}
+    assert len(by_grp) == len(rows)  # one survivor per group
+    assert by_grp[0]["n_members"] == 1  # exact dedup collapsed first

@@ -366,3 +366,19 @@ def test_skew_stats_topk_is_take_ordered(spark, sf_dir):
     win = plan.find("Window")
     tko = plan.find("TakeOrderedAndProject")
     assert win != -1 and win < tko, plan
+
+
+def test_corpus_prep_canon_has_no_fp_window(spark, sf_dir):
+    """The exact-canonical filter inside corpus_prep / corpus_prep_substr
+    must be a partial agg + join back, never a window over the full-text
+    fingerprint (hot on a boilerplate-heavy corpus). The prefix-sum
+    windows downstream are doc_id/_b-partitioned and allowed; what must
+    NOT appear is any windowspecdefinition keyed on fp."""
+    import re
+
+    from ocr_dataset_builder_spark.queries_quality import q_corpus_prep
+    from ocr_dataset_builder_spark.queries_substr import q_corpus_prep_substr
+
+    for df in (q_corpus_prep(spark, sf_dir), q_corpus_prep_substr(spark, sf_dir)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"windowspecdefinition\(fp#\d+", plan), plan
