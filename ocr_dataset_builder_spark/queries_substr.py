@@ -877,15 +877,30 @@ def _incremental_removal_starts(
 
 
 def build_substr_index(
-    spark: SparkSession, sf_dir: str, index_dir: str, w: int = _SUBSTR_W
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    w: int = _SUBSTR_W,
+    bloom_dir: str | None = None,
 ) -> None:
     """Materialize the corpus window-fingerprint index: (fp, n_occ)
     parquet, one row per distinct fingerprint. Incremental runs read
     ONLY this (a fraction of corpus size) instead of re-fingerprinting
-    the corpus."""
-    _windows(spark, sf_dir, w).groupBy("fp").agg(
-        F.count("*").alias("n_occ")
-    ).write.mode("overwrite").parquet(index_dir)
+    the corpus. ``bloom_dir`` additionally writes the bounded Bloom
+    position set (<= _BLOOM_M ints regardless of index size — see
+    build_bloom_filter) so probes can pre-filter without touching the
+    index at all for definite misses."""
+    idx = (
+        _windows(spark, sf_dir, w)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    if bloom_dir is not None:
+        idx = idx.persist()
+    idx.write.mode("overwrite").parquet(index_dir)
+    if bloom_dir is not None:
+        build_bloom_filter(idx).write.mode("overwrite").parquet(bloom_dir)
+        idx.unpersist()
 
 
 def dedup_against_index(
@@ -893,14 +908,32 @@ def dedup_against_index(
     new_nd: DataFrame,
     index_dir: str,
     w: int = _SUBSTR_W,
+    bloom_dir: str | None = None,
 ) -> DataFrame:
     """Pipeline API: removal spans for a new (doc_id, norm) batch
-    against a stored index (see build_substr_index)."""
+    against a stored index (see build_substr_index).
+
+    With ``bloom_dir``, the batch is first split by the broadcastable
+    position set: bloom misses are DEFINITE index misses and skip the
+    big index join entirely, only maybe-fps pay the confirm join.
+    Output is identical with or without the bloom (no false negatives
+    by construction — pinned by test); the bloom only changes how much
+    of the batch the index join has to carry."""
     new_wins = _windows(spark, sf_dir=None, w=w, nd=new_nd)
     idx = spark.read.parquet(index_dir)
-    return _spans_from_starts(
-        _incremental_removal_starts(new_wins, idx), w=w
-    )
+    if bloom_dir is None:
+        return _spans_from_starts(
+            _incremental_removal_starts(new_wins, idx), w=w
+        )
+    bloom = spark.read.parquet(bloom_dir)
+    maybe = bloom_maybe_fps(new_wins, bloom)
+    cand = new_wins.join(maybe, "fp", "leftsemi")
+    definite_miss = new_wins.join(maybe, "fp", "left_anti")
+    idx_fps = idx.select("fp").distinct()
+    hit = cand.join(idx_fps, "fp", "leftsemi").select("doc_id", "start0")
+    miss = cand.join(idx_fps, "fp", "left_anti").unionByName(definite_miss)
+    removal = hit.unionByName(_keep_first_removals(miss))
+    return _spans_from_starts(removal, w=w)
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +990,139 @@ FROM (
   LEFT JOIN merged m ON m.doc_id = n.doc_id
   WHERE n.doc_id % {_NEW_BATCH_MOD} >= 8
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style bounded pre-filter for incremental dedup
+# ---------------------------------------------------------------------------
+#
+# dedup_against_index joins every new-batch window fingerprint against
+# the stored (fp, n_occ) index. At 100 TB that index is O(corpus
+# tokens) rows, so the join shuffles the whole batch against a huge
+# relation even though most daily-crawl windows are NOT in the index.
+# The classic fix is a Bloom filter over the index fingerprints; the
+# Spark-native, oracle-portable form is a POSITION SET: k md5-derived
+# bit positions per fingerprint, stored as distinct ints. Its size is
+# bounded by _BLOOM_M (4 MB-class) NO MATTER HOW LARGE THE INDEX, so
+# the planner broadcasts it and the common case (bloom miss = definite
+# index miss) never touches the big index. No false negatives by
+# construction; false positives only cost a wasted confirm-join row.
+
+_BLOOM_K = 3
+_BLOOM_M = 1 << 20
+
+
+def _bloom_positions(fp: F.Column) -> F.Column:
+    """k engine-portable positions per fingerprint: 60-bit md5 prefix of
+    'fp:i' mod _BLOOM_M, mirrored exactly by the DuckDB oracle."""
+    return F.array(
+        *[
+            _hex15(F.concat(fp.cast("string"), F.lit(f":{i}"))) % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def build_bloom_filter(index_fps: DataFrame) -> DataFrame:
+    """The bounded position-set form of a Bloom filter over index
+    fingerprints: <= _BLOOM_M distinct int positions."""
+    return index_fps.select(
+        F.explode(_bloom_positions(F.col("fp"))).alias("pos")
+    ).distinct()
+
+
+def bloom_maybe_fps(new_fps: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Fingerprints that MIGHT be in the index: all k positions present.
+    count(*) == k is correct even when one fp's positions collide — the
+    exploded rows then hit (or miss) the position set together."""
+    probe = (
+        new_fps.select("fp")
+        .distinct()
+        .select("fp", F.explode(_bloom_positions(F.col("fp"))).alias("pos"))
+    )
+    return (
+        probe.join(bloom, "pos")
+        .groupBy("fp")
+        .agg(F.count("*").alias("k_hits"))
+        .where(F.col("k_hits") == _BLOOM_K)
+        .select("fp")
+    )
+
+
+def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filter economics on the registered incremental split (corpus
+    = doc_id % mod < 8, batch = the rest): distinct batch fingerprints,
+    how many the bloom passes (maybe), how many are true index hits, and
+    the false-positive rate among true misses in ppm — the number that
+    says how much confirm-join traffic the position set saves."""
+    wins = _windows(spark, sf_dir)
+    idx_fps = (
+        wins.where(F.col("doc_id") % _NEW_BATCH_MOD < 8).select("fp").distinct()
+    )
+    new_fps = (
+        wins.where(F.col("doc_id") % _NEW_BATCH_MOD >= 8).select("fp").distinct()
+    )
+    maybe = bloom_maybe_fps(new_fps, build_bloom_filter(idx_fps))
+    n_new = new_fps.agg(F.count("*").alias("n_new_fps"))
+    n_maybe = maybe.agg(F.count("*").alias("n_maybe"))
+    n_true = new_fps.join(idx_fps, "fp", "leftsemi").agg(
+        F.count("*").alias("n_true_dups")
+    )
+    return (
+        n_new.crossJoin(n_maybe)
+        .crossJoin(n_true)
+        .select(
+            "n_new_fps",
+            "n_maybe",
+            "n_true_dups",
+            (F.col("n_maybe") - F.col("n_true_dups")).alias("n_false_pos"),
+            F.expr(
+                "CASE WHEN n_new_fps - n_true_dups = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (2 * (n_maybe - n_true_dups) * 1000000 "
+                "+ (n_new_fps - n_true_dups)) "
+                "div (2 * (n_new_fps - n_true_dups)) END"
+            ).alias("false_pos_ppm"),
+        )
+    )
+
+
+_BLOOM_POS_SQL = (
+    f"('0x' || substr(md5(CAST(f.fp AS VARCHAR) || ':' || CAST(k.i AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {_BLOOM_M}"
+)
+
+SQL_BLOOM_PREFILTER_STATS = f"""WITH {_NORM_CTE},
+{_WINS_CTE},
+idxf AS (SELECT DISTINCT fp FROM wins WHERE doc_id % {_NEW_BATCH_MOD} < 8),
+newf AS (SELECT DISTINCT fp FROM wins WHERE doc_id % {_NEW_BATCH_MOD} >= 8),
+ks AS (SELECT unnest(range(0, {_BLOOM_K})) AS i),
+pos AS (
+  SELECT DISTINCT {_BLOOM_POS_SQL} AS pos FROM idxf f, ks k
+),
+probe AS (
+  SELECT f.fp, {_BLOOM_POS_SQL} AS pos FROM newf f, ks k
+),
+maybe AS (
+  SELECT fp FROM probe JOIN pos USING (pos)
+  GROUP BY fp HAVING count(*) = {_BLOOM_K}
+),
+agg AS (
+  SELECT
+    (SELECT count(*) FROM newf) AS n_new_fps,
+    (SELECT count(*) FROM maybe) AS n_maybe,
+    (SELECT count(*) FROM newf WHERE fp IN (SELECT fp FROM idxf)) AS n_true_dups
+)
+SELECT CAST(n_new_fps AS BIGINT) AS n_new_fps,
+       CAST(n_maybe AS BIGINT) AS n_maybe,
+       CAST(n_true_dups AS BIGINT) AS n_true_dups,
+       CAST(n_maybe - n_true_dups AS BIGINT) AS n_false_pos,
+       CAST(CASE WHEN n_new_fps - n_true_dups = 0 THEN 0
+            ELSE (2 * (n_maybe - n_true_dups) * 1000000
+                  + (n_new_fps - n_true_dups))
+                 // (2 * (n_new_fps - n_true_dups)) END AS BIGINT)
+         AS false_pos_ppm
+FROM agg
 """
 
 
@@ -1026,6 +1192,7 @@ GROUP BY d.source
 QUERIES: dict[str, tuple] = {
     "substr_dup_spans": (q_substr_dup_spans, SQL_SUBSTR_DUP_SPANS),
     "substr_dup_rate": (q_substr_dup_rate, _substr_dup_rate_sql()),
+    "bloom_prefilter_stats": (q_bloom_prefilter_stats, SQL_BLOOM_PREFILTER_STATS),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),

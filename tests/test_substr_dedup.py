@@ -495,3 +495,83 @@ def test_incremental_semantics_on_fixture(spark, substr_dir):
     )
     got = {(r["doc_id"], r["start0"]) for r in removal.collect()}
     assert got == {(6, 0), (7, 0)}
+
+
+def test_bloom_path_matches_plain_incremental(spark, sf_dir):
+    """dedup_against_index with a stored Bloom position set must return
+    EXACTLY the plain path's spans (the bloom has no false negatives by
+    construction — a definite-miss is routed to the keep-first side,
+    which is where an exact-join miss lands anyway), and the maybe set
+    must be a superset of the true index hits."""
+    from pyspark.sql import functions as F
+
+    from ocr_dataset_builder_spark.queries_corpus import _norm_docs
+
+    tmp = tempfile.mkdtemp(prefix="odb_substr_bloom_")
+    try:
+        nd = _norm_docs(spark, sf_dir)
+        existing_nd = nd.where(F.col("doc_id") % qs._NEW_BATCH_MOD < 8).select(
+            "doc_id", "norm"
+        )
+        new_nd = nd.where(F.col("doc_id") % qs._NEW_BATCH_MOD >= 8).select(
+            "doc_id", "norm"
+        )
+        idx_dir = os.path.join(tmp, "index")
+        bloom_dir = os.path.join(tmp, "bloom")
+        qs._windows(spark, sf_dir=None, nd=existing_nd).groupBy("fp").agg(
+            F.count("*").alias("n_occ")
+        ).write.mode("overwrite").parquet(idx_dir)
+        idx = spark.read.parquet(idx_dir)
+        qs.build_bloom_filter(idx).write.mode("overwrite").parquet(bloom_dir)
+        # bounded: the position table never exceeds the filter size
+        n_pos = spark.read.parquet(bloom_dir).count()
+        assert 0 < n_pos <= qs._BLOOM_M
+
+        plain = {
+            tuple(r)
+            for r in qs.dedup_against_index(spark, new_nd, idx_dir).collect()
+        }
+        bloomed = {
+            tuple(r)
+            for r in qs.dedup_against_index(
+                spark, new_nd, idx_dir, bloom_dir=bloom_dir
+            ).collect()
+        }
+        assert bloomed == plain and bloomed
+
+        # no false negatives: every true index hit passes the bloom
+        new_wins = qs._windows(spark, sf_dir=None, nd=new_nd)
+        maybe = {
+            r["fp"]
+            for r in qs.bloom_maybe_fps(
+                new_wins, spark.read.parquet(bloom_dir)
+            ).collect()
+        }
+        true_hits = {
+            r["fp"]
+            for r in new_wins.join(idx.select("fp"), "fp", "leftsemi")
+            .select("fp")
+            .distinct()
+            .collect()
+        }
+        assert true_hits <= maybe
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bloom_index_build_writes_both(spark, sf_dir):
+    """build_substr_index(bloom_dir=...) writes index + position set in
+    one pass; the positions are exactly build_bloom_filter(index)."""
+    tmp = tempfile.mkdtemp(prefix="odb_substr_bloomidx_")
+    try:
+        idx_dir = os.path.join(tmp, "index")
+        bloom_dir = os.path.join(tmp, "bloom")
+        qs.build_substr_index(spark, sf_dir, idx_dir, bloom_dir=bloom_dir)
+        idx = spark.read.parquet(idx_dir)
+        want = {
+            r["pos"] for r in qs.build_bloom_filter(idx).collect()
+        }
+        got = {r["pos"] for r in spark.read.parquet(bloom_dir).collect()}
+        assert got == want and got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
