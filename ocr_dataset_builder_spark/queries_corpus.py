@@ -146,6 +146,18 @@ def q_dedup_exact(
     return nd.join(g, "fp").select("doc_id", "fp", "group_n", "canonical_id")
 
 
+def _exact_canonicals(nd: DataFrame) -> DataFrame:
+    """(doc_id) of each exact group's canonical — the keep-only form of
+    q_dedup_exact: one map-side-combined partial agg on the fingerprint,
+    no join back (callers that keep only canonicals never need the
+    per-row annotation, so the join-back leg is pure waste there)."""
+    return (
+        nd.groupBy(F.md5("norm").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 SQL_DEDUP_EXACT = f"""WITH {_NORM_CTE}
 SELECT doc_id, md5(norm) AS fp,
        count(*) OVER (PARTITION BY md5(norm)) AS group_n,
@@ -630,11 +642,7 @@ def q_dedup_corpus(
     scan instead of two; ``use_reliable_checkpoint`` makes the CC
     iterations survivable on a real cluster (see connected_components)."""
     nd = _maybe_persist(_norm_docs(spark, sf_dir), storage_level)
-    exact_keep = (
-        q_dedup_exact(spark, sf_dir, nd=nd)
-        .where(F.col("doc_id") == F.col("canonical_id"))
-        .select("doc_id")
-    )
+    exact_keep = _exact_canonicals(nd)
     comps = q_near_dup_components(
         spark,
         sf_dir,
@@ -1133,11 +1141,7 @@ def q_dedup_best_of_cluster(
     applies to joins and aggs, never to windows), so a degenerate
     million-member cluster costs a combine, not a single-task sort."""
     nd = _maybe_persist(_norm_docs(spark, sf_dir), storage_level)
-    exact_keep = (
-        q_dedup_exact(spark, sf_dir, nd=nd)
-        .where(F.col("doc_id") == F.col("canonical_id"))
-        .select("doc_id")
-    )
+    exact_keep = _exact_canonicals(nd)
     comps = q_near_dup_components(
         spark,
         sf_dir,

@@ -625,14 +625,22 @@ def q_corpus_prep_substr(
         _h15(F.col("doc_id").cast("string")) % 10000
         < _RATE_BP_SPARK(F.col("source"))
     )
-    fp = sampled.withColumn("fp", F.md5(_NORM_SPARK(F.col("text"))))
-    # skew-safe exact-canonical filter: partial agg + join back on fp,
-    # never a window over the full-text fingerprint (hot on boilerplate)
-    canon_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    fp = sampled.select(
+        F.md5(_NORM_SPARK(F.col("text"))).alias("fp"),
+        "doc_id",
+        "source",
+        _NORM_SPARK(F.col("text")).alias("norm"),
+    )
+    # skew-safe exact-canonical filter: only canonical rows survive, so
+    # the min-struct partial agg (lexicographic on doc_id, payload rides
+    # along) needs NO join back and combines the hot fingerprint
+    # map-side — strictly less shuffle than either the window form or an
+    # agg+join-back (never a window over the full-text fp: hot on
+    # boilerplate)
     canon = _maybe_persist(
-        fp.join(canon_ids, "fp")
-        .where(F.col("doc_id") == F.col("canon_id"))
-        .select("doc_id", "source", _NORM_SPARK(F.col("text")).alias("norm")),
+        fp.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source", "norm")).alias("c"))
+        .select("c.doc_id", "c.source", "c.norm"),
         storage_level,
     )
     removal = _removal_starts(
