@@ -2246,6 +2246,179 @@ WHERE {_COS_LSH_EXPR} >= {_COS_DUP_MIN}
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+# k-means-cluster the embedding space, then detect near-duplicates only
+# WITHIN each cluster. The clustering bounds the quadratic: a 100-TB
+# corpus never sees an all-pairs comparison — k grows with n so expected
+# cluster size stays fixed, and the pair expansion is O(sum n_c^2) with
+# n_c capped. Reuses the oracle-proven k-means trainer (the clusters ARE
+# q_kmeans_train's clusters) and the near-dup family's in-row cosine.
+# ---------------------------------------------------------------------------
+
+# Same cosine bar as the embedding near-dup family: within a cluster,
+# cos >= this marks a semantic duplicate pair.
+_SEM_DUP_MIN = _COS_DUP_MIN
+# Clusters past this size skip the quadratic step (members keep=true,
+# n_dup_neighbors=0) — same rationale as _EMB_BUCKET_CAP: an unbounded
+# cluster is an O(n_c^2) job. At scale, raise k instead (the paper sizes
+# k so clusters stay small); the cap is the loud backstop, observable in
+# q_semantic_dedup_stats as capped clusters with n_kept == n_members.
+_SEM_CLUSTER_CAP = 4096
+
+
+def _semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup verdict: cluster id, number of same-cluster
+    duplicate neighbors (cos >= _SEM_DUP_MIN), max such cosine, and the
+    keep flag. Keep policy (deterministic variant of the paper's): among
+    duplicate neighbors, KEEP the vector FARTHEST from its centroid —
+    the paper's low-centroid-similarity representative, which preserves
+    the most atypical example of each duplicate neighborhood. A vector
+    is dropped iff some duplicate neighbor dominates it under the strict
+    order (d2 DESC, vec_id DESC); d2 values are the same bit-identical
+    in-row folds both engines rank by in q_kmeans_train, so the
+    comparison is engine-deterministic.
+
+    Scale shape: trainer as in q_kmeans_train (tiny centroid table
+    broadcast per Lloyd step), one assign, one cluster-size guard
+    (broadcast), one self-join keyed on cent_id carrying vectors only
+    for in-cap clusters, in-row double-fold cosine, one per-vector agg.
+    No window over a skewable key anywhere."""
+    e, cent = _trained_centroids(spark, sf_dir)
+    assign = _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
+    ev = assign.join(e, "vec_id")
+    csize = ev.groupBy("cent_id").agg(F.count("*").alias("cn"))
+    small = ev.join(
+        F.broadcast(
+            csize.where(F.col("cn") <= _SEM_CLUSTER_CAP).select("cent_id")
+        ),
+        "cent_id",
+    )
+    a = small.select("cent_id", "vec_id", "d2", "v")
+    b = small.select(
+        "cent_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("d2").alias("b_d2"),
+        F.col("v").alias("bv"),
+    )
+    cos = F.round(
+        _fold_double(F.zip_with("v", "bv", lambda x, y: x * y))
+        / F.sqrt(_n2_double(F.col("v")) * _n2_double(F.col("bv"))),
+        4,
+    )
+    dup = (
+        a.join(b, "cent_id")
+        .where(F.col("vec_id") != F.col("b_id"))
+        .select("vec_id", "d2", "b_id", "b_d2", cos.alias("cos"))
+        .where(F.col("cos") >= _SEM_DUP_MIN)
+    )
+    dominated = (F.col("b_d2") > F.col("d2")) | (
+        (F.col("b_d2") == F.col("d2")) & (F.col("b_id") > F.col("vec_id"))
+    )
+    agg = dup.groupBy("vec_id").agg(
+        F.count("*").alias("n_dup_neighbors"),
+        F.max("cos").alias("max_cos"),
+        (F.max(F.when(dominated, 1).otherwise(0)) == 1).alias("dominated"),
+    )
+    return assign.join(agg, "vec_id", "left").select(
+        "vec_id",
+        "cent_id",
+        F.coalesce("n_dup_neighbors", F.lit(0)).alias("n_dup_neighbors"),
+        "max_cos",
+        (~F.coalesce(F.col("dominated"), F.lit(False))).alias("keep"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-vector report: every vector with its cluster, dup
+    neighborhood size, max within-cluster cosine, and keep verdict."""
+    return _semantic_flags(spark, sf_dir)
+
+
+def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup rollup — the observability a run signs off
+    on: members, kept, dropped, and the drop rate in integer ppm
+    (half-up integer division; float round(x, 6) ties are
+    engine-dependent)."""
+    flags = _semantic_flags(spark, sf_dir)
+    return (
+        flags.groupBy("cent_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        )
+        .select(
+            "cent_id",
+            "n_members",
+            "n_kept",
+            (F.col("n_members") - F.col("n_kept")).alias("n_dropped"),
+            F.expr(
+                "(2 * (n_members - n_kept) * 1000000 + n_members)"
+                " div (2 * n_members)"
+            ).alias("drop_ppm"),
+        )
+    )
+
+
+_SEM_COS_SQL = (
+    f"round({_d_dot_sql('ea.embedding', 'eb.embedding')} / "
+    f"sqrt({_d_n2_sql('ea.embedding')} * {_d_n2_sql('eb.embedding')}), 4)"
+)
+
+_SEM_FLAGS_CTES = f"""{_kmeans_train_cte()},
+sd_assign AS (
+  SELECT vec_id, cent_id, d2 FROM (
+    SELECT e.vec_id, c.cent_id, {_KM_D2_TRAINED_SQL} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_KM_D2_TRAINED_SQL} ASC, c.cent_id ASC) AS rnk
+    FROM embeddings e CROSS JOIN cent{_KM_ITERS} c
+  ) WHERE rnk = 1
+),
+sd_csize AS (SELECT cent_id, count(*) AS cn FROM sd_assign GROUP BY 1),
+sd_small AS (
+  SELECT a.* FROM sd_assign a
+  JOIN sd_csize s ON s.cent_id = a.cent_id
+  WHERE s.cn <= {_SEM_CLUSTER_CAP}
+),
+sd_dup AS (
+  SELECT a.vec_id, a.d2, b.vec_id AS b_id, b.d2 AS b_d2,
+         {_SEM_COS_SQL} AS cos
+  FROM sd_small a
+  JOIN sd_small b ON b.cent_id = a.cent_id AND b.vec_id <> a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_SEM_COS_SQL} >= {_SEM_DUP_MIN}
+),
+sd_agg AS (
+  SELECT vec_id, count(*) AS n_dup_neighbors, max(cos) AS max_cos,
+         bool_or(b_d2 > d2 OR (b_d2 = d2 AND b_id > vec_id)) AS dominated
+  FROM sd_dup GROUP BY 1
+),
+sd_flags AS (
+  SELECT a.vec_id, a.cent_id,
+         CAST(coalesce(g.n_dup_neighbors, 0) AS BIGINT) AS n_dup_neighbors,
+         g.max_cos,
+         NOT coalesce(g.dominated, FALSE) AS keep
+  FROM sd_assign a LEFT JOIN sd_agg g ON g.vec_id = a.vec_id
+)"""
+
+SQL_SEMANTIC_DEDUP = f"""WITH {_SEM_FLAGS_CTES}
+SELECT vec_id, cent_id, n_dup_neighbors, max_cos, keep FROM sd_flags
+"""
+
+SQL_SEMANTIC_DEDUP_STATS = f"""WITH {_SEM_FLAGS_CTES}
+SELECT cent_id,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST((2 * (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END)) * 1000000
+             + count(*)) // (2 * count(*)) AS BIGINT) AS drop_ppm
+FROM sd_flags
+GROUP BY cent_id
+"""
+
+
 _ALLOWLIST = ("3", "7", "12", "9999991")  # last id never exists
 
 
@@ -2327,4 +2500,6 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_trained": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "semantic_dedup_stats": (q_semantic_dedup_stats, SQL_SEMANTIC_DEDUP_STATS),
 }

@@ -1,0 +1,111 @@
+"""SemDeDup family (queries_corpus): contract properties of the
+within-cluster keep rule that the SQL oracle can't express as
+invariants — dominance semantics, cap behavior, stats consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_dataset_builder_spark import queries_corpus as qc
+
+
+def _flags(spark, sf_dir):
+    return qc.q_semantic_dedup(spark, sf_dir).collect()
+
+
+def test_isolated_vectors_always_keep(spark, sf_dir):
+    rows = _flags(spark, sf_dir)
+    assert rows, "empty semantic_dedup output"
+    for r in rows:
+        if r["n_dup_neighbors"] == 0:
+            assert r["keep"], r
+            assert r["max_cos"] is None, r
+
+
+def test_some_duplicates_found_and_dropped(spark, sf_dir):
+    rows = _flags(spark, sf_dir)
+    n_dup = sum(1 for r in rows if r["n_dup_neighbors"] > 0)
+    n_drop = sum(1 for r in rows if not r["keep"])
+    assert n_dup > 0, "threshold produced no dup neighborhoods at test SF"
+    assert 0 < n_drop < len(rows)
+
+
+def test_local_maxima_kept(spark, sf_dir):
+    """A vector can only be dropped by a neighbor that strictly dominates
+    it under (d2 DESC, vec_id DESC) — so within every cluster the vector
+    with the maximal (d2, vec_id) among those WITH dup neighbors must be
+    kept (nothing can dominate it)."""
+    e, cent = qc._trained_centroids(spark, sf_dir)
+    assign = {
+        r["vec_id"]: (r["cent_id"], r["d2"])
+        for r in qc._assign_to(e, cent, 1).select(
+            "vec_id", "cent_id", "d2"
+        ).collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in _flags(spark, sf_dir):
+        if r["n_dup_neighbors"] > 0:
+            cid, d2 = assign[r["vec_id"]]
+            by_cluster.setdefault(cid, []).append((d2, r["vec_id"], r["keep"]))
+    assert by_cluster
+    for cid, members in by_cluster.items():
+        top = max(members)
+        assert top[2], f"cluster {cid}: maximal dup-member {top} was dropped"
+
+
+def test_dropped_vector_has_dominating_neighbor_kept_or_not(spark, sf_dir):
+    """Every dropped vector must actually have a dup neighbor (dominance
+    requires a neighbor); no vector is dropped in isolation."""
+    for r in _flags(spark, sf_dir):
+        if not r["keep"]:
+            assert r["n_dup_neighbors"] > 0, r
+            assert r["max_cos"] is not None and r["max_cos"] >= qc._SEM_DUP_MIN
+
+
+def test_cluster_cap_disables_quadratic_step(spark, sf_dir, monkeypatch):
+    """With the cap below every cluster size, no pairs are expanded:
+    everything keeps, n_dup_neighbors is 0 everywhere — the loud-backstop
+    behavior the stats query surfaces as n_kept == n_members."""
+    monkeypatch.setattr(qc, "_SEM_CLUSTER_CAP", 1)
+    rows = _flags(spark, sf_dir)
+    assert rows
+    assert all(r["keep"] and r["n_dup_neighbors"] == 0 for r in rows)
+
+
+def test_stats_consistent_with_flags(spark, sf_dir):
+    flags = _flags(spark, sf_dir)
+    stats = {r["cent_id"]: r for r in qc.q_semantic_dedup_stats(spark, sf_dir).collect()}
+    n_total = qc._emb(spark, sf_dir).count()
+    assert sum(s["n_members"] for s in stats.values()) == n_total
+    per_cluster_kept: dict[int, int] = {}
+    per_cluster_n: dict[int, int] = {}
+    for r in flags:
+        per_cluster_n[r["cent_id"]] = per_cluster_n.get(r["cent_id"], 0) + 1
+        if r["keep"]:
+            per_cluster_kept[r["cent_id"]] = (
+                per_cluster_kept.get(r["cent_id"], 0) + 1
+            )
+    for cid, s in stats.items():
+        assert s["n_members"] == per_cluster_n[cid]
+        assert s["n_kept"] == per_cluster_kept.get(cid, 0)
+        assert s["n_dropped"] == s["n_members"] - s["n_kept"]
+        assert 0 <= s["drop_ppm"] <= 1_000_000
+
+
+def test_no_window_over_cluster_key(spark, sf_dir):
+    """Skew gate: the per-vector verdict must not rank occurrences with a
+    window partitioned by the cluster key (the keep rule is a partial agg
+    + join). Windows partitioned by vec_id (the k-NN rank inside
+    _assign_to — bounded by k, never skewable) are fine."""
+    import re
+
+    plan = qc.q_semantic_dedup(spark, sf_dir)._jdf.queryExecution().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        # physical Window node format: Window [exprs], [partCols], [ordCols]
+        m = re.search(r"\], \[([^\]]*)\], \[", line)
+        assert m, f"unparseable Window line:\n{line}"
+        assert "cent_id#" not in m.group(1), (
+            f"window partitioned by cent_id:\n{line}"
+        )
