@@ -183,6 +183,9 @@ def main() -> None:
     timed("bm25_score", qq.q_bm25_score(spark, SF_DIR))
     timed("kmeans_step", qc.q_kmeans_step(spark, SF_DIR))
     timed_factory("kmeans_train", lambda: qc.q_kmeans_train(spark, SF_DIR))
+    # SemDeDup: trainer runs at construction (localCheckpoint per Lloyd
+    # iteration) -> factory form, same as kmeans_train
+    timed_factory("semantic_dedup", lambda: qc.q_semantic_dedup(spark, SF_DIR))
 
     from ocr_dataset_builder_spark import queries_substr as qsub
 
