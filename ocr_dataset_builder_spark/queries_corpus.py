@@ -2286,6 +2286,12 @@ def _semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     No window over a skewable key anywhere."""
     e, cent = _trained_centroids(spark, sf_dir)
     assign = _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
+    return _semantic_flags_from(assign, e)
+
+
+def _semantic_flags_from(assign: DataFrame, e: DataFrame) -> DataFrame:
+    """The SemDeDup verdict over a given 1-NN assignment (shared by the
+    standalone query and the q_semantic_prep composition)."""
     ev = assign.join(e, "vec_id")
     csize = ev.groupBy("cent_id").agg(F.count("*").alias("cn"))
     small = ev.join(
@@ -2419,6 +2425,113 @@ GROUP BY cent_id
 """
 
 
+# ---------------------------------------------------------------------------
+# cluster_prototypes / semantic_prep — D4 (Tirumala et al. 2023,
+# arXiv:2308.12284) composes SemDeDup with PROTOTYPICALITY pruning
+# (SSL Prototypes, Sorscher et al. 2022): after semantic dedup, also drop
+# the most prototypical survivors — the dense core nearest each centroid
+# carries the least marginal information for training.
+# ---------------------------------------------------------------------------
+
+# Keep a vector iff its squared distance to its centroid EXCEEDS
+# alpha * the cluster's mean squared distance. The paper prunes a fixed
+# fraction by rank; the mean-relative rule is the skew-safe deterministic
+# variant (one partial agg per cluster — no per-cluster sort/window), and
+# is scale-free across clusters of different tightness. In high
+# dimension d2 concentrates hard around the mean (measured here: d2/mean
+# spans ~[0.69, 1.13] at 64 dims), so alpha sits close to 1; a real run
+# tunes it to the target prune fraction.
+_PROTO_ALPHA = 0.95
+
+
+def _proto_flags(assign: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, d2, mean_d2, keep_proto) from a 1-NN assignment.
+
+    The per-cluster mean uses the kmeans discipline: DECIMAL(25,9) sum of
+    round(d2, 9) cast to double, divided, rounded to 6 dp — float
+    aggregation order would differ between engines; this is bit-identical
+    both sides. d2 itself is the same in-row fold q_kmeans_train ranks
+    by, so the keep comparison is engine-deterministic."""
+    dec = lambda c: F.round(c.cast("double"), 9).cast("decimal(25,9)")  # noqa: E731
+    mean = assign.groupBy("cent_id").agg(
+        F.round(
+            F.sum(dec(F.col("d2"))).cast("double") / F.count("*"), 6
+        ).alias("mean_d2")
+    )
+    return assign.join(F.broadcast(mean), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        "d2",
+        "mean_d2",
+        (F.col("d2") > F.lit(_PROTO_ALPHA) * F.col("mean_d2")).alias(
+            "keep_proto"
+        ),
+    )
+
+
+def q_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality report per vector: cluster, distance to centroid,
+    cluster mean distance, and the prune verdict (keep_proto=false marks
+    the prototypical core). One broadcast join of the k-row mean table —
+    no window, no quadratic."""
+    e, cent = _trained_centroids(spark, sf_dir)
+    assign = _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
+    return _proto_flags(assign).select(
+        "vec_id",
+        "cent_id",
+        F.round(F.col("d2").cast("double"), 4).alias("d2"),
+        "mean_d2",
+        "keep_proto",
+    )
+
+
+def q_semantic_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed D4 pipeline verdict: SemDeDup keep AND prototype
+    keep, per vector. keep = survives BOTH the within-cluster duplicate
+    dominance rule and the prototypical-core prune. The two flag
+    families share one trainer/assignment plan."""
+    e, cent = _trained_centroids(spark, sf_dir)
+    assign = _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
+    sem = _semantic_flags_from(assign, e).select(
+        "vec_id", "cent_id", F.col("keep").alias("keep_dedup")
+    )
+    proto = _proto_flags(assign).select("vec_id", "keep_proto")
+    return sem.join(proto, "vec_id").select(
+        "vec_id",
+        "cent_id",
+        "keep_dedup",
+        "keep_proto",
+        (F.col("keep_dedup") & F.col("keep_proto")).alias("keep"),
+    )
+
+
+_SEM_PROTO_CTES = f"""{_SEM_FLAGS_CTES},
+sp_mean AS (
+  SELECT cent_id,
+         round(CAST(sum(CAST(round(d2, 9) AS DECIMAL(25,9))) AS DOUBLE)
+               / count(*), 6) AS mean_d2
+  FROM sd_assign GROUP BY 1
+),
+sp_flags AS (
+  SELECT a.vec_id, a.cent_id, a.d2, m.mean_d2,
+         a.d2 > {_PROTO_ALPHA} * m.mean_d2 AS keep_proto
+  FROM sd_assign a JOIN sp_mean m ON m.cent_id = a.cent_id
+)"""
+
+SQL_CLUSTER_PROTOTYPES = f"""WITH {_SEM_PROTO_CTES}
+SELECT vec_id, cent_id, round(d2, 4) AS d2, mean_d2, keep_proto
+FROM sp_flags
+"""
+
+SQL_SEMANTIC_PREP = f"""WITH {_SEM_PROTO_CTES}
+SELECT f.vec_id, f.cent_id,
+       f.keep AS keep_dedup,
+       p.keep_proto,
+       f.keep AND p.keep_proto AS keep
+FROM sd_flags f JOIN sp_flags p ON p.vec_id = f.vec_id
+"""
+
+
 _ALLOWLIST = ("3", "7", "12", "9999991")  # last id never exists
 
 
@@ -2502,4 +2615,6 @@ QUERIES: dict[str, tuple] = {
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "semantic_dedup_stats": (q_semantic_dedup_stats, SQL_SEMANTIC_DEDUP_STATS),
+    "cluster_prototypes": (q_cluster_prototypes, SQL_CLUSTER_PROTOTYPES),
+    "semantic_prep": (q_semantic_prep, SQL_SEMANTIC_PREP),
 }

@@ -4,8 +4,6 @@ invariants — dominance semantics, cap behavior, stats consistency."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from ocr_dataset_builder_spark import queries_corpus as qc
 
 
@@ -109,3 +107,48 @@ def test_no_window_over_cluster_key(spark, sf_dir):
         assert "cent_id#" not in m.group(1), (
             f"window partitioned by cent_id:\n{line}"
         )
+
+
+def test_prototype_prune_rate_meaningful(spark, sf_dir):
+    rows = qc.q_cluster_prototypes(spark, sf_dir).collect()
+    assert rows
+    n_pruned = sum(1 for r in rows if not r["keep_proto"])
+    # the mean-relative rule must bite, but never consume a majority
+    assert 0 < n_pruned < len(rows) / 2
+    for r in rows:
+        # verdict consistent with the reported numbers (d2 rounded to 4dp
+        # in the output, so allow that rounding at the boundary)
+        lhs, rhs = r["d2"], qc._PROTO_ALPHA * r["mean_d2"]
+        if r["keep_proto"]:
+            assert lhs > rhs - 1e-3, r
+        else:
+            assert lhs <= rhs + 1e-3, r
+
+
+def test_semantic_prep_composes_both_flag_families(spark, sf_dir):
+    prep = {r["vec_id"]: r for r in qc.q_semantic_prep(spark, sf_dir).collect()}
+    dedup = {r["vec_id"]: r["keep"] for r in _flags(spark, sf_dir)}
+    proto = {
+        r["vec_id"]: r["keep_proto"]
+        for r in qc.q_cluster_prototypes(spark, sf_dir).collect()
+    }
+    assert set(prep) == set(dedup) == set(proto)
+    for vid, r in prep.items():
+        assert r["keep_dedup"] == dedup[vid], vid
+        assert r["keep_proto"] == proto[vid], vid
+        assert r["keep"] == (r["keep_dedup"] and r["keep_proto"]), vid
+
+
+def test_no_window_over_cluster_key_in_prune_family(spark, sf_dir):
+    import re
+
+    for q in (qc.q_cluster_prototypes, qc.q_semantic_prep):
+        plan = q(spark, sf_dir)._jdf.queryExecution().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition(" not in line:
+                continue
+            m = re.search(r"\], \[([^\]]*)\], \[", line)
+            assert m, f"unparseable Window line:\n{line}"
+            assert "cent_id#" not in m.group(1), (
+                f"{q.__name__}: window partitioned by cent_id:\n{line}"
+            )
