@@ -152,3 +152,35 @@ def test_no_window_over_cluster_key_in_prune_family(spark, sf_dir):
             assert "cent_id#" not in m.group(1), (
                 f"{q.__name__}: window partitioned by cent_id:\n{line}"
             )
+
+
+def test_degenerate_all_identical_embeddings(spark):
+    """The semantic analogue of the degenerate-corpus pins: every vector
+    identical -> every within-cluster pair has cos 1.0 and equal d2, so
+    dominance falls through to vec_id and EXACTLY ONE vector survives
+    per cluster (the max vec_id). This is the hot-cluster shape at its
+    worst; the keep rule must stay a partial agg + join, not a ranking."""
+    from pyspark.sql import functions as F
+
+    n = 200
+    e = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array([F.lit(float(x)) for x in (1.0, 2.0, 3.0, 4.0)]).alias(
+                "v"
+            ),
+        )
+    )
+    # two clusters by vec_id parity (identical vectors -> assignment is
+    # arbitrary; fix it explicitly to exercise >1 cluster)
+    assign = e.select(
+        "vec_id", (F.col("vec_id") % 2).alias("cent_id"), F.lit(0.0).alias("d2")
+    )
+    rows = qc._semantic_flags_from(assign, e).collect()
+    assert len(rows) == n
+    kept = [r["vec_id"] for r in rows if r["keep"]]
+    assert sorted(kept) == [n - 2, n - 1], kept  # max vec_id per parity class
+    for r in rows:
+        assert r["n_dup_neighbors"] == n // 2 - 1, r
+        assert r["max_cos"] == 1.0, r
