@@ -31,7 +31,7 @@ _PRIORITY = [
     # brand new this round (zero driver rows)
     "semantic_dedup", "semantic_dedup_stats",
     "cluster_prototypes", "semantic_prep",
-    "dedup_best_of_cluster", "bloom_prefilter_stats",
+    "dedup_best_of_cluster", "bloom_prefilter_stats", "para_freq_filter",
     "dedup_substr_apply", "ngram_posting_drops", "corpus_prep_substr_text",
     # keep-first skew rewrite (min-struct agg replaced the per-fp
     # row_number window) touches these five's plans directly

@@ -199,6 +199,7 @@ def main() -> None:
     timed("dedup_substr_apply", qsub.q_dedup_substr_apply(spark, SF_DIR))
     timed("corpus_prep_substr", qsub.q_corpus_prep_substr(spark, SF_DIR))
     timed("paragraph_dedup", qsub.q_paragraph_dedup(spark, SF_DIR))
+    timed("para_freq_filter", qsub.q_para_freq_filter(spark, SF_DIR))
     timed("dedup_incremental", qsub.q_dedup_incremental(spark, SF_DIR))
     timed("bloom_prefilter_stats", qsub.q_bloom_prefilter_stats(spark, SF_DIR))
     # the rollup's honest MARGINAL cost: a pipeline holds the per-doc

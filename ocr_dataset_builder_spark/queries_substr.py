@@ -773,6 +773,25 @@ FROM o
 _PARA_TOK = 20
 
 
+def _para_rows(nd: DataFrame) -> DataFrame:
+    """(doc_id, para_idx, para, fp) — consecutive non-overlapping
+    20-token chunks of each normalized document, fingerprinted. The
+    chunking is entirely in-row (sequence + slice over the split-once
+    token array); shared by the keep-first and frequency-filter
+    paragraph queries so the unit definition cannot drift."""
+    t = nd.withColumn("t", F.split("norm", " "))
+    n_chunks = F.ceil(F.size("t") / F.lit(_PARA_TOK)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("t"), i * _PARA_TOK + 1, _PARA_TOK), " "
+        ),
+    )
+    return t.select(
+        "doc_id", F.posexplode(chunks).alias("para_idx", "para")
+    ).withColumn("fp", _hex15(F.col("para")))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first paragraph dedup: fingerprint each 20-token chunk,
     retain the corpus-wide first occurrence (lowest (doc_id, para_idx)),
@@ -785,17 +804,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate paragraph shared by 10^7 docs reduces per map task) +
     one keyed join back + one doc_id shuffle for the re-assembly;
     chunking itself is in-row (sequence + slice), no Python anywhere."""
-    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
-    n_chunks = F.ceil(F.size("t") / F.lit(_PARA_TOK)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(F.col("t"), i * _PARA_TOK + 1, _PARA_TOK), " "
-        ),
-    )
-    paras = nd.select(
-        "doc_id", F.posexplode(chunks).alias("para_idx", "para")
-    ).withColumn("fp", _hex15(F.col("para")))
+    paras = _para_rows(_norm_docs(spark, sf_dir))
     keep = paras.groupBy("fp").agg(
         F.min(F.struct("doc_id", "para_idx")).alias("keep")
     )
@@ -824,7 +833,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PARAGRAPH_DEDUP = f"""WITH {_NORM_CTE},
+_PARAS_CTE_SQL = f"""
 toks AS (
   SELECT doc_id, string_split(norm, ' ') AS t FROM norm_docs
 ),
@@ -842,7 +851,12 @@ paras AS (
              ))) AS u
     FROM toks
   )
-),
+)
+""".strip()
+
+
+SQL_PARAGRAPH_DEDUP = f"""WITH {_NORM_CTE},
+{_PARAS_CTE_SQL},
 ranked AS (
   SELECT doc_id, para_idx, para,
          row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC, para_idx ASC) AS rnk
@@ -855,6 +869,85 @@ SELECT doc_id,
          AS kept_text
 FROM ranked
 GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# frequency boilerplate removal (RefinedWeb-style): the OTHER paragraph
+# discipline — keep-first retains one copy of a duplicated paragraph;
+# template text (nav bars, cookie banners, license headers) should
+# retain ZERO copies. A paragraph present in >= K distinct documents is
+# boilerplate; every occurrence — including the first — is dropped.
+# ---------------------------------------------------------------------------
+
+_PARA_FREQ_K = 2  # test-scale doc-frequency threshold; production uses
+# a corpus-fraction threshold the same way _PHRASE_FRAC does for 2-grams
+
+
+def q_para_freq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-filter boilerplate paragraphs: drop EVERY occurrence of
+    any 20-token chunk appearing in >= _PARA_FREQ_K distinct documents,
+    re-assemble each document from the survivors. Output: (doc_id,
+    n_paras, n_boiler_paras, kept_text — '' when the whole document was
+    template text). Complements q_paragraph_dedup (keep-first), matching
+    the reference's cleanup intent (repeated frame boilerplate stripped
+    in tesseract/processing.py cleanup) lifted to corpus scope.
+
+    Scale: doc-frequency = distinct-(fp, doc_id) partial agg then a
+    fp partial agg — both map-side-combining, skew-immune (a paragraph
+    shared by 10^7 docs reduces per map task); the common-fp set is a
+    tiny relation the planner broadcasts for the back-join; re-assembly
+    is one doc_id shuffle with per-doc bounded state. No windows, no
+    Python, nothing quadratic."""
+    paras = _para_rows(_norm_docs(spark, sf_dir))
+    doc_freq = (
+        paras.select("fp", "doc_id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    common = (
+        doc_freq.where(F.col("n_docs") >= _PARA_FREQ_K)
+        .select("fp", F.lit(True).alias("is_boiler"))
+    )
+    marked = paras.join(common, "fp", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.coalesce("is_boiler", F.lit(False)).cast("bigint")).alias(
+            "n_boiler_paras"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.coalesce("is_boiler", F.lit(False)),
+                            F.struct("para_idx", "para"),
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+SQL_PARA_FREQ_FILTER = f"""WITH {_NORM_CTE},
+{_PARAS_CTE_SQL},
+common AS (
+  SELECT fp FROM (
+    SELECT fp, count(DISTINCT doc_id) AS n_docs FROM paras GROUP BY fp
+  ) WHERE n_docs >= {_PARA_FREQ_K}
+)
+SELECT p.doc_id,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_paras,
+       coalesce(string_agg(CASE WHEN c.fp IS NULL THEN p.para END,
+                           ' ' ORDER BY p.para_idx ASC), '') AS kept_text
+FROM paras p LEFT JOIN common c ON c.fp = p.fp
+GROUP BY p.doc_id
 """
 
 
@@ -1202,6 +1295,7 @@ QUERIES: dict[str, tuple] = {
     "substr_dup_rate": (q_substr_dup_rate, _substr_dup_rate_sql()),
     "bloom_prefilter_stats": (q_bloom_prefilter_stats, SQL_BLOOM_PREFILTER_STATS),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "para_freq_filter": (q_para_freq_filter, SQL_PARA_FREQ_FILTER),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_substrings": (q_dedup_substrings, SQL_DEDUP_SUBSTRINGS),
     "substr_removal_spans": (q_substr_removal_spans, SQL_SUBSTR_REMOVAL_SPANS),

@@ -575,3 +575,80 @@ def test_bloom_index_build_writes_both(spark, sf_dir):
         assert got == want and got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# frequency boilerplate filter (para_freq_filter)
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, rows):
+    tmp = tempfile.mkdtemp(prefix="odb_parafreq_")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    return tmp
+
+
+def test_para_freq_filter_fixture(spark):
+    """A paragraph shared by two docs loses EVERY occurrence (including
+    the first — the defining contrast with keep-first); a paragraph
+    repeated only WITHIN one doc has doc-frequency 1 and survives both
+    copies; unique docs pass through untouched, including a short tail
+    chunk."""
+    p = lambda c: " ".join(f"{c}{i}" for i in range(20))  # noqa: E731
+    tmp = _write_docs(
+        spark,
+        [
+            (1, p("s") + " " + p("a")),
+            (2, p("b") + " " + p("s")),
+            (3, p("c") + " " + p("c")),
+            (4, " ".join(f"t{i}" for i in range(26))),
+        ],
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_boiler_paras"], r["kept_text"])
+            for r in qs.q_para_freq_filter(spark, tmp).collect()
+        }
+        assert got[1] == (2, 1, p("a"))
+        assert got[2] == (2, 1, p("b"))
+        assert got[3] == (2, 0, p("c") + " " + p("c"))
+        assert got[4] == (2, 0, " ".join(f"t{i}" for i in range(26)))
+        # keep-first on the same corpus KEEPS the first shared copy and
+        # drops doc 3's second in-doc copy — the two disciplines must
+        # disagree exactly there
+        kf = {
+            r["doc_id"]: r["kept_text"]
+            for r in qs.q_paragraph_dedup(spark, tmp).collect()
+        }
+        assert kf[1] == p("s") + " " + p("a")
+        assert kf[3] == p("c")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_para_freq_filter_degenerate_all_boiler(spark):
+    """All-identical corpus: every paragraph is corpus-wide template, so
+    every document empties — the hot-fp shape the partial-agg doc-freq
+    must survive (and the plan gate below keeps window-free)."""
+    text = " ".join(f"w{i % 7}" for i in range(40))
+    tmp = _write_docs(spark, [(i, text) for i in range(50)])
+    try:
+        rows = qs.q_para_freq_filter(spark, tmp).collect()
+        assert len(rows) == 50
+        for r in rows:
+            assert r["n_paras"] == 2 and r["n_boiler_paras"] == 2, r
+            assert r["kept_text"] == "", r
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_para_freq_filter_plan_skew_safe(spark, sf_dir):
+    """Same skew discipline as the keep-first family: doc-frequency is a
+    partial agg (map-side combine), never a per-fp window."""
+    df = qs.q_para_freq_filter(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
