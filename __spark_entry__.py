@@ -32,6 +32,7 @@ _PRIORITY = [
     "semantic_dedup", "semantic_dedup_stats",
     "cluster_prototypes", "semantic_prep",
     "dedup_best_of_cluster", "bloom_prefilter_stats", "para_freq_filter",
+    "token_budget_sample",
     "dedup_substr_apply", "ngram_posting_drops", "corpus_prep_substr_text",
     # keep-first skew rewrite (min-struct agg replaced the per-fp
     # row_number window) touches these five's plans directly

@@ -1156,6 +1156,132 @@ SELECT rnk, doc_id, n_frames, corpus_frac FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# token_budget_sample — DCLM/DataComp-style budget fill: give each source
+# a token budget and fill it greedily with that source's highest-quality
+# documents. The naive plan — rank every document of a source in one
+# per-source window — serializes 10^12 rows through single tasks; the
+# selection here is three bounded stages instead.
+# ---------------------------------------------------------------------------
+
+_TBS_FRAC = 0.5  # per-source budget = floor(frac * source's total tokens)
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget fill: order each source's docs by
+    (quality DESC, doc_id ASC) and keep docs while the tokens already
+    taken stay under the source budget (floor(_TBS_FRAC * source
+    tokens)). Output: the kept (doc_id, source, n_tokens, quality).
+
+    Scale: no per-source ranking of documents ever happens. Stage 1
+    reduces docs to exact-quality groups — a partial agg, and the
+    per-source prefix window runs over AT MOST 10^6+1 rows per source
+    (quality is floor-to-6dp in [0,1]), not over documents. Stage 2
+    classifies whole groups against the budget: fully-kept groups come
+    back via a keyed semi-join (no ordering at all); at most ONE cutoff
+    group per source survives to stage 3, which resolves the within-
+    group doc_id order with the same two-phase bucket prefix sum as
+    pack_offsets — bucket totals, a window over the tiny bucket
+    relation, then per-bucket local windows. Every window in the plan
+    is over a relation with a proven size bound."""
+    from .queries_corpus import q_quality_score
+
+    qsc = q_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality"
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    d = qsc.join(src, "doc_id")
+
+    budgets = d.groupBy("source").agg(
+        F.floor(F.sum("n_tokens") * _TBS_FRAC).alias("budget")
+    )
+    # stage 1: exact-quality groups (<= 1e6+1 per source by construction)
+    g = d.groupBy("source", "quality").agg(F.sum("n_tokens").alias("g_tok"))
+    w_hi = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = (
+        g.withColumn("cum_hi", F.coalesce(F.sum("g_tok").over(w_hi), F.lit(0)))
+        .join(F.broadcast(budgets), "source")
+    )
+    # stage 2: whole-group classification
+    full = g2.where(F.col("cum_hi") + F.col("g_tok") <= F.col("budget")).select(
+        "source", "quality"
+    )
+    cut = g2.where(
+        (F.col("cum_hi") < F.col("budget"))
+        & (F.col("cum_hi") + F.col("g_tok") > F.col("budget"))
+    ).select("source", "quality", (F.col("budget") - F.col("cum_hi")).alias("_rem"))
+    kept_full = d.join(full, ["source", "quality"], "leftsemi")
+    # stage 3: the (<= one per source) cutoff group, resolved in doc_id
+    # order via the pack_offsets two-phase prefix discipline
+    cd = d.join(F.broadcast(cut), ["source", "quality"]).withColumn(
+        "_b", F.floor(F.col("doc_id") / _PACK_BUCKET)
+    )
+    w_b = (
+        Window.partitionBy("source", "quality")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        cd.groupBy("source", "quality", "_b")
+        .agg(F.sum("n_tokens").alias("_n"))
+        .withColumn("_boff", F.coalesce(F.sum("_n").over(w_b), F.lit(0)))
+        .select("source", "quality", "_b", "_boff")
+    )
+    w_loc = (
+        Window.partitionBy("source", "quality", "_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut_kept = (
+        cd.join(boff, ["source", "quality", "_b"])
+        .withColumn(
+            "_before",
+            F.col("_boff")
+            + F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0)),
+        )
+        .where(F.col("_before") < F.col("_rem"))
+        .select("doc_id", "source", "n_tokens", "quality")
+    )
+    return kept_full.select(
+        "doc_id", "source", "n_tokens", "quality"
+    ).unionByName(cut_kept)
+
+
+def _token_budget_sql() -> str:
+    from .queries_corpus import _QUAL_BASE_CTE, _QUAL_EXPR_SQL
+
+    return f"""WITH {_NORM_CTE},
+{_QUAL_BASE_CTE},
+q AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         {_QUAL_EXPR_SQL} AS quality
+  FROM qbase
+),
+d AS (
+  SELECT q.doc_id, s.source, q.n_tokens, q.quality
+  FROM q JOIN documents s ON s.doc_id = q.doc_id
+),
+b AS (
+  SELECT source, CAST(floor(sum(n_tokens) * {_TBS_FRAC}) AS BIGINT) AS budget
+  FROM d GROUP BY source
+),
+o AS (
+  SELECT d.*,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT o.doc_id, o.source, o.n_tokens, o.quality
+FROM o JOIN b ON b.source = o.source
+WHERE o.cum_before < b.budget
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -1172,4 +1298,5 @@ QUERIES: dict[str, tuple] = {
     "bm25_score": (q_bm25_score, SQL_BM25_SCORE),
     "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
     "skew_stats": (q_skew_stats, _skew_sql()),
+    "token_budget_sample": (q_token_budget_sample, _token_budget_sql()),
 }

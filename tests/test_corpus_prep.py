@@ -95,3 +95,75 @@ def test_decontaminate_join_has_no_forced_broadcast(spark, sf_dir):
     ]
     assert probe_join, plan
     assert not any("Broadcast" in ln for ln in probe_join), probe_join
+
+
+def test_token_budget_sample_degenerate_uniform(spark, tmp_path):
+    """All docs identical (one quality value, equal sizes): the ENTIRE
+    source is the cutoff group, so selection runs through the stage-3
+    doc_id-ordered two-phase path — expect exactly the first half by
+    doc_id."""
+    import os
+
+    from ocr_dataset_builder_spark.queries_quality import (
+        q_token_budget_sample,
+    )
+
+    text = " ".join(f"w{i % 5}" for i in range(40))
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, text, "en", "web", len(text)) for i in range(10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    kept = sorted(
+        r["doc_id"] for r in q_token_budget_sample(spark, d).collect()
+    )
+    # budget = floor(0.5 * 10 * 40) = 200; doc k's cum_before = 40k,
+    # kept iff 40k < 200 -> k in 0..4
+    assert kept == [0, 1, 2, 3, 4]
+
+
+def test_token_budget_sample_greedy_invariants(spark, sf_dir):
+    """Per source: selection is quality-monotone (no dropped doc
+    outranks a kept one) and the kept token mass lands in
+    [budget, budget + last-kept-doc) — the exact greedy bound."""
+    from collections import defaultdict
+
+    from ocr_dataset_builder_spark.queries_corpus import q_quality_score
+    from ocr_dataset_builder_spark.queries_quality import (
+        _TBS_FRAC,
+        _docs,
+        q_token_budget_sample,
+    )
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in _docs(spark, sf_dir).select("doc_id", "source").collect()
+    }
+    alldocs = defaultdict(list)
+    for r in q_quality_score(spark, sf_dir).collect():
+        alldocs[src[r["doc_id"]]].append(
+            (r["doc_id"], r["n_tokens"], r["quality"])
+        )
+    kept = defaultdict(set)
+    for r in q_token_budget_sample(spark, sf_dir).collect():
+        kept[r["source"]].add(r["doc_id"])
+    assert set(kept) == set(alldocs)
+    for s, docs in alldocs.items():
+        budget = int(_TBS_FRAC * sum(n for _, n, _ in docs))
+        k = [(q, i, n) for i, n, q in docs if i in kept[s]]
+        drop = [(q, i) for i, n, q in docs if i not in kept[s]]
+        assert drop, s  # budget < total, something must drop
+        assert min(q for q, _, _ in k) >= max(q for q, _ in drop) or (
+            # ties at the cutoff quality are split by doc_id
+            min(q for q, _, _ in k) == max(q for q, _ in drop)
+        ), s
+        kept_sum = sum(n for _, _, n in k)
+        # order kept docs greedily to find the LAST one taken
+        k_sorted = sorted(k, key=lambda t: (-t[0], t[1]))
+        last_tok = k_sorted[-1][2]
+        assert budget <= kept_sum < budget + last_tok, (
+            s,
+            budget,
+            kept_sum,
+            last_tok,
+        )

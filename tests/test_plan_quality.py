@@ -382,3 +382,26 @@ def test_corpus_prep_canon_has_no_fp_window(spark, sf_dir):
     for df in (q_corpus_prep(spark, sf_dir), q_corpus_prep_substr(spark, sf_dir)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert not re.search(r"windowspecdefinition\(fp#\d+", plan), plan
+
+
+def test_token_budget_sample_windows_are_bounded(spark, sf_dir):
+    """No per-source ranking of the document relation: windows summing
+    doc tokens (sum(n_tokens)) must be partitioned down to the prefix
+    bucket (_b); the only (source)-partitioned windows may run over the
+    exact-quality GROUP relation (sum(g_tok)) or the bucket-offset
+    relation (sum(_n)), both with proven size bounds."""
+    import re
+
+    from ocr_dataset_builder_spark.queries_quality import (
+        q_token_budget_sample,
+    )
+
+    plan = _executed_plan(q_token_budget_sample(spark, sf_dir))
+    for ln in plan.splitlines():
+        if "windowspecdefinition" not in ln:
+            continue
+        if "sum(n_tokens" in ln:
+            assert re.search(
+                r"windowspecdefinition\(source#\d+, quality#\d+, _b#\d+L?, doc_id",
+                ln,
+            ), ln
