@@ -1065,12 +1065,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tokens.alias("n_tokens"),
             F.round(stop_hits / n_tokens, 6).alias("stop_ratio"),
             F.round(avg_len, 6).alias("avg_token_len"),
-            F.round(F.col("_alpha") / F.col("_nchars"), 6).alias("alpha_ratio"),
+            # nchars = 0 (empty/whitespace-only doc): DuckDB division
+            # yields NULL while ANSI Spark raises DIVIDE_BY_ZERO — guard
+            # so both engines score the unscoreable doc as NULL
+            F.when(
+                F.col("_nchars") > 0,
+                F.round(F.col("_alpha") / F.col("_nchars"), 6),
+            ).alias("alpha_ratio"),
             # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): the composite
             # can land EXACTLY on a 6-decimal boundary (e.g. 0.5103125),
             # where Spark rounds the shortest decimal repr and DuckDB the
             # binary value — floor of identical doubles is identical
-            (
+            F.when(
+                F.col("_nchars") > 0,
                 F.floor(
                     (
                         0.4 * (stop_hits / n_tokens)
@@ -1080,7 +1087,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 1000000.0
                     + 0.5
                 )
-                / 1000000.0
+                / 1000000.0,
             ).alias("quality"),
         )
     )

@@ -491,21 +491,35 @@ _PACK_CAP = 512  # tokens per training block
 _PACK_BUCKET = 64  # docs per prefix-sum bucket
 
 
-def pack_offsets(d: DataFrame, passengers: list[str] | None = None) -> DataFrame:
-    """Exact global token offsets over doc_id order via a two-phase
-    prefix sum (same shape as F7 slice_window): per-bucket token totals
-    -> cumulative offsets over the tiny (bucket, total) relation ->
+def pack_offsets(
+    d: DataFrame,
+    passengers: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact token offsets over doc_id order via a two-phase prefix sum
+    (same shape as F7 slice_window): per-bucket token totals ->
+    cumulative offsets over the tiny (bucket, total) relation ->
     broadcast back over a partitioned local window. No single-partition
     window ever touches the full relation, so the plan survives 10^12
-    docs. Input needs (doc_id, n_tok); passenger columns ride along."""
+    docs. Input needs (doc_id, n_tok); passenger columns ride along.
+    With ``partition_cols`` the prefix restarts per partition key (each
+    window additionally partitioned by those columns) — the shared
+    discipline for any 'cumulative sum in doc_id order' consumer
+    (q_pack_blocks globally, token_budget_sample's cutoff group per
+    (source, quality))."""
     passengers = passengers or []
+    parts = partition_cols or []
     d = d.withColumn("_b", F.floor(F.col("doc_id") / _PACK_BUCKET))
-    counts = d.groupBy("_b").agg(F.sum("n_tok").alias("_n"))
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    counts = d.groupBy(*parts, "_b").agg(F.sum("n_tok").alias("_n"))
+    w_off = (
+        Window.partitionBy(*parts).orderBy("_b")
+        if parts
+        else Window.orderBy("_b")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        *parts, "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
-    w_local = Window.partitionBy("_b").orderBy("doc_id")
+    w_local = Window.partitionBy(*parts, "_b").orderBy("doc_id")
     start = (
         F.col("_off")
         + F.coalesce(
@@ -515,7 +529,7 @@ def pack_offsets(d: DataFrame, passengers: list[str] | None = None) -> DataFrame
             F.lit(0),
         )
     ).alias("start_off")
-    out = d.join(F.broadcast(offsets), "_b").select(
+    out = d.join(F.broadcast(offsets), [*parts, "_b"]).select(
         "doc_id", "n_tok", start, *passengers
     )
     first = F.floor(F.col("start_off") / _PACK_CAP)
@@ -1167,11 +1181,18 @@ SELECT rnk, doc_id, n_frames, corpus_frac FROM (
 _TBS_FRAC = 0.5  # per-source budget = floor(frac * source's total tokens)
 
 
-def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_budget_sample(
+    spark: SparkSession, sf_dir: str, storage_level=None
+) -> DataFrame:
     """Greedy per-source token-budget fill: order each source's docs by
     (quality DESC, doc_id ASC) and keep docs while the tokens already
     taken stay under the source budget (floor(_TBS_FRAC * source
     tokens)). Output: the kept (doc_id, source, n_tokens, quality).
+    Unscoreable docs (zero characters -> NULL quality) are not fill
+    candidates and do not contribute to the source totals — pinned in
+    the oracle by the same IS NOT NULL filter. The scored relation
+    feeds four branches; ``storage_level`` persists it for pipeline
+    callers (the registered form stays a pure transformation).
 
     Scale: no per-source ranking of documents ever happens. Stage 1
     reduces docs to exact-quality groups — a partial agg, and the
@@ -1184,13 +1205,16 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_offsets — bucket totals, a window over the tiny bucket
     relation, then per-bucket local windows. Every window in the plan
     is over a relation with a proven size bound."""
-    from .queries_corpus import q_quality_score
+    from .queries_corpus import _maybe_persist, q_quality_score
 
     qsc = q_quality_score(spark, sf_dir).select(
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality"
     )
     src = _docs(spark, sf_dir).select("doc_id", "source")
-    d = qsc.join(src, "doc_id")
+    d = _maybe_persist(
+        qsc.where(F.col("quality").isNotNull()).join(src, "doc_id"),
+        storage_level,
+    )
 
     budgets = d.groupBy("source").agg(
         F.floor(F.sum("n_tokens") * _TBS_FRAC).alias("budget")
@@ -1216,35 +1240,19 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "quality", (F.col("budget") - F.col("cum_hi")).alias("_rem"))
     kept_full = d.join(full, ["source", "quality"], "leftsemi")
     # stage 3: the (<= one per source) cutoff group, resolved in doc_id
-    # order via the pack_offsets two-phase prefix discipline
-    cd = d.join(F.broadcast(cut), ["source", "quality"]).withColumn(
-        "_b", F.floor(F.col("doc_id") / _PACK_BUCKET)
-    )
-    w_b = (
-        Window.partitionBy("source", "quality")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boff = (
-        cd.groupBy("source", "quality", "_b")
-        .agg(F.sum("n_tokens").alias("_n"))
-        .withColumn("_boff", F.coalesce(F.sum("_n").over(w_b), F.lit(0)))
-        .select("source", "quality", "_b", "_boff")
-    )
-    w_loc = (
-        Window.partitionBy("source", "quality", "_b")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # order via the SHARED pack_offsets two-phase prefix (partitioned
+    # per (source, quality)); start_off IS the within-group cum-before
+    cd = d.join(F.broadcast(cut), ["source", "quality"])
     cut_kept = (
-        cd.join(boff, ["source", "quality", "_b"])
-        .withColumn(
-            "_before",
-            F.col("_boff")
-            + F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0)),
+        pack_offsets(
+            cd.withColumnRenamed("n_tokens", "n_tok"),
+            passengers=["source", "quality", "_rem"],
+            partition_cols=["source", "quality"],
         )
-        .where(F.col("_before") < F.col("_rem"))
-        .select("doc_id", "source", "n_tokens", "quality")
+        .where(F.col("start_off") < F.col("_rem"))
+        .select(
+            "doc_id", "source", F.col("n_tok").alias("n_tokens"), "quality"
+        )
     )
     return kept_full.select(
         "doc_id", "source", "n_tokens", "quality"
@@ -1264,6 +1272,7 @@ q AS (
 d AS (
   SELECT q.doc_id, s.source, q.n_tokens, q.quality
   FROM q JOIN documents s ON s.doc_id = q.doc_id
+  WHERE q.quality IS NOT NULL
 ),
 b AS (
   SELECT source, CAST(floor(sum(n_tokens) * {_TBS_FRAC}) AS BIGINT) AS budget

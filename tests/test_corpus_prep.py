@@ -122,10 +122,12 @@ def test_token_budget_sample_degenerate_uniform(spark, tmp_path):
     assert kept == [0, 1, 2, 3, 4]
 
 
-def test_token_budget_sample_greedy_invariants(spark, sf_dir):
-    """Per source: selection is quality-monotone (no dropped doc
-    outranks a kept one) and the kept token mass lands in
-    [budget, budget + last-kept-doc) — the exact greedy bound."""
+def test_token_budget_sample_exact_greedy(spark, sf_dir):
+    """The kept set equals an independent Python greedy simulation
+    EXACTLY per source — including the doc_id tie-split within the
+    cutoff quality value (a stage-3 ordering regression, e.g. doc_id
+    DESC, cannot hide behind aggregate bounds)."""
+    import math
     from collections import defaultdict
 
     from ocr_dataset_builder_spark.queries_corpus import q_quality_score
@@ -149,21 +151,41 @@ def test_token_budget_sample_greedy_invariants(spark, sf_dir):
         kept[r["source"]].add(r["doc_id"])
     assert set(kept) == set(alldocs)
     for s, docs in alldocs.items():
-        budget = int(_TBS_FRAC * sum(n for _, n, _ in docs))
-        k = [(q, i, n) for i, n, q in docs if i in kept[s]]
-        drop = [(q, i) for i, n, q in docs if i not in kept[s]]
-        assert drop, s  # budget < total, something must drop
-        assert min(q for q, _, _ in k) >= max(q for q, _ in drop) or (
-            # ties at the cutoff quality are split by doc_id
-            min(q for q, _, _ in k) == max(q for q, _ in drop)
-        ), s
-        kept_sum = sum(n for _, _, n in k)
-        # order kept docs greedily to find the LAST one taken
-        k_sorted = sorted(k, key=lambda t: (-t[0], t[1]))
-        last_tok = k_sorted[-1][2]
-        assert budget <= kept_sum < budget + last_tok, (
-            s,
-            budget,
-            kept_sum,
-            last_tok,
-        )
+        budget = math.floor(_TBS_FRAC * sum(n for _, n, q in docs if q is not None))
+        expect, taken = set(), 0
+        for i, n, q in sorted(
+            (d for d in docs if d[2] is not None),
+            key=lambda t: (-t[2], t[0]),
+        ):
+            if taken < budget:
+                expect.add(i)
+                taken += n
+        assert kept[s] == expect, (s, kept[s] ^ expect)
+        assert len(expect) < len(docs), s  # something must drop
+
+
+def test_token_budget_sample_empty_docs(spark, tmp_path):
+    """Zero-character docs: quality_score yields NULL quality (no ANSI
+    DIVIDE_BY_ZERO crash — mirrors DuckDB's NULL on x/0), and the
+    budget fill excludes them from candidates AND source totals."""
+    import os
+
+    from ocr_dataset_builder_spark.queries_corpus import q_quality_score
+    from ocr_dataset_builder_spark.queries_quality import (
+        q_token_budget_sample,
+    )
+
+    text = " ".join(f"w{i % 5} the" for i in range(20))
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, text, "en", "web", len(text)) for i in range(4)]
+        + [(10, "", "en", "web", 0), (11, "   ", "en", "web", 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    qual = {r["doc_id"]: r["quality"] for r in q_quality_score(spark, d).collect()}
+    assert qual[10] is None and qual[11] is None
+    assert all(qual[i] is not None for i in range(4))
+    kept = sorted(r["doc_id"] for r in q_token_budget_sample(spark, d).collect())
+    # budget = floor(0.5 * 4 * 40) = 80 over scoreable docs only; all
+    # scoreable docs tie on quality -> doc_id order -> first two kept
+    assert kept == [0, 1]
