@@ -1215,7 +1215,15 @@ def q_token_budget_sample(
         qsc.where(F.col("quality").isNotNull()).join(src, "doc_id"),
         storage_level,
     )
+    return budget_fill(d)
 
+
+def budget_fill(d: DataFrame) -> DataFrame:
+    """The budget-fill selection core, factored so composed pipelines
+    (``corpus_prep_budget``) run it over THEIR survivor relation.
+    Input: (doc_id, source, n_tokens, quality) with quality non-null;
+    output: the kept rows, same columns. See
+    :func:`q_token_budget_sample` for the three-stage scale argument."""
     budgets = d.groupBy("source").agg(
         F.floor(F.sum("n_tokens") * _TBS_FRAC).alias("budget")
     )
@@ -1291,6 +1299,210 @@ WHERE o.cum_before < b.budget
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_shuffle — deterministic training-order shuffle + offsets
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = "r5"  # seed folded into the order key; change to re-shuffle
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle: every doc gets its
+    position and token offset in md5(seed ':' doc_id) order — the
+    deterministic equivalent of shuffling the corpus before packing a
+    training stream (same hash-order trick CCNet/DCLM-style pipelines
+    use so a re-run, a resumed run, and a two-cluster run all agree on
+    the stream without a stored permutation).
+
+    Scale: the naive form is one global sort + one global prefix
+    window. Here the hash key's first byte buckets docs into 256
+    uniform groups (md5 is uniform, so buckets stay balanced at any
+    corpus size — unlike doc_id ranges, no loader skew); per-bucket
+    doc/token totals are a partial agg, the cross-bucket prefix is a
+    window over the 256-row bucket relation, and within-bucket order is
+    a local window per bucket — the :func:`pack_offsets` two-phase
+    discipline transplanted onto an arbitrary order key. Collision
+    tie-break is (key, doc_id) on both engines."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tok")
+    )
+    key = F.md5(F.concat(F.lit(_SHUF_SEED + ":"), F.col("doc_id").cast("string")))
+    d = d.withColumn("_k", key).withColumn("_b", F.substring("_k", 1, 2))
+    counts = d.groupBy("_b").agg(
+        F.count("*").alias("_nd"), F.sum("n_tok").alias("_nt")
+    )
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_b",
+        F.coalesce(F.sum("_nd").over(w_b), F.lit(0)).alias("_docs_before"),
+        F.coalesce(F.sum("_nt").over(w_b), F.lit(0)).alias("_toks_before"),
+    )
+    w_local = Window.partitionBy("_b").orderBy("_k", "doc_id")
+    return (
+        d.join(F.broadcast(offs), "_b")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("_docs_before") + F.row_number().over(w_local) - 1).alias(
+                "shuffle_pos"
+            ),
+            (
+                F.col("_toks_before")
+                + F.coalesce(
+                    F.sum("n_tok").over(
+                        w_local.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("start_off"),
+        )
+    )
+
+
+SQL_CORPUS_SHUFFLE = f"""WITH d AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok,
+         md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS shuffle_pos,
+       CAST(coalesce(sum(n_tok) OVER (ORDER BY k, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_off
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_budget — the composed DCLM-style deliverable: quality
+# budget fill as the selection mechanism instead of per-source rates
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_prep_budget(
+    spark: SparkSession, sf_dir: str, storage_level=None
+) -> DataFrame:
+    """The budget-fill twin of ``corpus_prep``: decontaminate (drop
+    probe docs and anything sharing a probe 3-gram) -> exact dedup
+    (min-doc_id canonical per normalized-text fingerprint, elected over
+    the decontaminated SURVIVORS) -> per-source token-budget fill
+    (keep each source's highest-quality canonicals while tokens stay
+    under floor(_TBS_FRAC * the source's surviving tokens) — budgets
+    are computed over the survivors, so upstream removals shrink the
+    fill, exactly like a real DCLM-style run re-budgeting after dedup)
+    -> GPT-style pack offsets over the kept docs in doc_id order.
+
+    One token discipline throughout: ``q_quality_score``'s normalized
+    token count feeds the budget, the greedy fill, and the packing
+    (unlike ``corpus_prep``'s raw trim-split count — this pipeline's
+    unit is the quality-scored normalized doc). Unscoreable docs
+    (NULL quality) survive decontamination and can win a dedup
+    canonical election, but are neither fill candidates nor budget
+    contributors — same discipline as ``token_budget_sample``.
+
+    Scale: the canonical election is the skew-safe min-struct partial
+    agg (no window over the hot fingerprint), the fill is the bounded
+    three-stage :func:`budget_fill` (no per-source ranking of docs),
+    and packing is the two-phase prefix sum. Registered as ONE query so
+    cross-stage drift (a budget counting tokens dedup removed, a fill
+    candidate decontamination dropped) cannot hide between piecewise
+    proofs. ``storage_level`` persists the shingle relation both
+    decontamination sides re-derive."""
+    from .queries_corpus import _NORM_SPARK, _maybe_persist, q_quality_score
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % _PROBE_MOD != 0)
+    sh = _maybe_persist(_shingles(spark, sf_dir), storage_level)
+    hits = _q_decontaminate_from(spark, sf_dir, sh).where(F.col("contaminated"))
+    clean = d.join(hits.select("doc_id"), "doc_id", "left_anti")
+    qsc = q_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality"
+    )
+    surv = clean.join(qsc, "doc_id")
+    fp = surv.select(
+        F.md5(_NORM_SPARK(F.col("text"))).alias("fp"),
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+    )
+    # doc_id leads the struct and is unique, so the lexicographic min
+    # never reaches the nullable quality field
+    canon = (
+        fp.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens", "quality")).alias("c"))
+        .select("c.doc_id", "c.source", "c.n_tokens", "c.quality")
+    )
+    kept = budget_fill(canon.where(F.col("quality").isNotNull()))
+    return pack_offsets(
+        kept.withColumnRenamed("n_tokens", "n_tok"),
+        passengers=["source", "quality"],
+    )
+
+
+def _corpus_prep_budget_sql() -> str:
+    from .queries_corpus import _QUAL_BASE_CTE, _QUAL_EXPR_SQL
+
+    return f"""WITH {_NORM_CTE}{_SHINGLE_CTE},
+probe AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_PROBE_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN probe p ON s.shingle = p.shingle
+  WHERE s.doc_id % {_PROBE_MOD} <> 0
+),
+{_QUAL_BASE_CTE},
+q AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         {_QUAL_EXPR_SQL} AS quality
+  FROM qbase
+),
+surv AS (
+  SELECT d.doc_id, d.source, d.text, q.n_tokens, q.quality
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE d.doc_id % {_PROBE_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+canon AS (
+  SELECT doc_id, source, n_tokens, quality FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS canon_id
+    FROM surv
+  ) WHERE doc_id = canon_id
+),
+cand AS (SELECT doc_id, source, n_tokens, quality FROM canon
+         WHERE quality IS NOT NULL),
+b AS (
+  SELECT source, CAST(floor(sum(n_tokens) * {_TBS_FRAC}) AS BIGINT) AS budget
+  FROM cand GROUP BY source
+),
+o AS (
+  SELECT cand.*,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM cand
+),
+kept AS (
+  SELECT o.doc_id, o.source, o.n_tokens AS n_tok, o.quality
+  FROM o JOIN b ON b.source = o.source
+  WHERE o.cum_before < b.budget
+),
+off AS (
+  SELECT doc_id, n_tok, source, quality,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM kept
+)
+SELECT doc_id, n_tok, start_off,
+       CAST(floor(start_off / {_PACK_CAP}) AS BIGINT) AS first_block,
+       CAST(floor((start_off + n_tok - 1) / {_PACK_CAP})
+            - floor(start_off / {_PACK_CAP}) + 1 AS BIGINT) AS n_blocks,
+       source, quality
+FROM off
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -1308,4 +1520,6 @@ QUERIES: dict[str, tuple] = {
     "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
     "skew_stats": (q_skew_stats, _skew_sql()),
     "token_budget_sample": (q_token_budget_sample, _token_budget_sql()),
+    "corpus_prep_budget": (q_corpus_prep_budget, _corpus_prep_budget_sql()),
+    "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
 }

@@ -189,3 +189,98 @@ def test_token_budget_sample_empty_docs(spark, tmp_path):
     # budget = floor(0.5 * 4 * 40) = 80 over scoreable docs only; all
     # scoreable docs tie on quality -> doc_id order -> first two kept
     assert kept == [0, 1]
+
+
+def test_corpus_prep_budget_exact_sim(spark, sf_dir):
+    """Full independent simulation of the composed budget deliverable:
+    decontamination survivors (via the proven decontaminate query),
+    dedup canonicals re-derived with PYTHON md5 over an independent
+    normalization (shares no Spark code with the query under test),
+    then the same greedy fill simulation as the token_budget test —
+    kept set, per-source budgets, and offset contiguity all exact."""
+    import hashlib
+    import math
+    import re
+    from collections import defaultdict
+
+    from ocr_dataset_builder_spark.queries_corpus import q_quality_score
+    from ocr_dataset_builder_spark.queries_quality import (
+        _PROBE_MOD,
+        _TBS_FRAC,
+        _docs,
+        q_corpus_prep_budget,
+        q_decontaminate,
+    )
+
+    contaminated = {
+        r["doc_id"]
+        for r in q_decontaminate(spark, sf_dir).collect()
+        if r["contaminated"]
+    }
+    docs = {
+        r["doc_id"]: (r["source"], r["text"])
+        for r in _docs(spark, sf_dir).select("doc_id", "source", "text").collect()
+    }
+    qual = {
+        r["doc_id"]: (r["n_tokens"], r["quality"])
+        for r in q_quality_score(spark, sf_dir).collect()
+    }
+    # survivors -> python-md5 dedup canonicals (min doc_id per fp)
+    canon_of = {}
+    for doc_id in sorted(docs):
+        if doc_id % _PROBE_MOD == 0 or doc_id in contaminated:
+            continue
+        norm = re.sub(r"\s+", " ", docs[doc_id][1].lower()).strip()
+        fp = hashlib.md5(norm.encode()).hexdigest()
+        canon_of.setdefault(fp, doc_id)
+    canon = sorted(canon_of.values())
+    per_src = defaultdict(list)
+    for doc_id in canon:
+        n_tok, q = qual[doc_id]
+        if q is not None:
+            per_src[docs[doc_id][0]].append((doc_id, n_tok, q))
+    expect = {}
+    for s, rows in per_src.items():
+        budget = math.floor(_TBS_FRAC * sum(n for _, n, _q in rows))
+        taken = 0
+        for i, n, q in sorted(rows, key=lambda t: (-t[2], t[0])):
+            if taken < budget:
+                expect[i] = n
+                taken += n
+    got = sorted(
+        (r["doc_id"], r["n_tok"], r["start_off"])
+        for r in q_corpus_prep_budget(spark, sf_dir).collect()
+    )
+    assert {i: n for i, n, _ in got} == expect
+    off = 0
+    for _i, n_tok, start in got:
+        assert start == off
+        off += n_tok
+    # selection is real in both directions: something dropped, something kept
+    assert 0 < len(got) < len(canon)
+
+
+def test_corpus_shuffle_is_offset_consistent_permutation(spark, sf_dir):
+    """shuffle_pos is a bijection onto 0..n-1, start_off is the exact
+    token prefix sum in shuffle order, and the order is the seeded hash
+    order (re-derived with Python md5 — shares nothing with the plan)."""
+    import hashlib
+
+    from ocr_dataset_builder_spark.queries_quality import (
+        _SHUF_SEED,
+        q_corpus_shuffle,
+    )
+
+    rows = q_corpus_shuffle(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(n))
+    by_pos = sorted(rows, key=lambda r: r["shuffle_pos"])
+    off = 0
+    for r in by_pos:
+        assert r["start_off"] == off
+        off += r["n_tok"]
+    expect_order = sorted(
+        (hashlib.md5(f"{_SHUF_SEED}:{r['doc_id']}".encode()).hexdigest(), r["doc_id"])
+        for r in rows
+    )
+    assert [d for _, d in expect_order] == [r["doc_id"] for r in by_pos]
