@@ -1406,8 +1406,14 @@ def q_corpus_prep_budget(
     and packing is the two-phase prefix sum. Registered as ONE query so
     cross-stage drift (a budget counting tokens dedup removed, a fill
     candidate decontamination dropped) cannot hide between piecewise
-    proofs. ``storage_level`` persists the shingle relation both
-    decontamination sides re-derive."""
+    proofs. ``storage_level`` persists the two relations the pure plan
+    otherwise re-derives per branch: the shingle relation (both
+    decontamination sides) and the canonical-survivor relation —
+    :func:`budget_fill` fans out into four branches (budgets, quality
+    groups, full-keep semi-join, cutoff join), and without the persist
+    each branch replays decontaminate -> dedup from the scan. A
+    pipeline caller should always pass a storage level; the registered
+    form stays a pure transformation for the driver compare."""
     from .queries_corpus import _NORM_SPARK, _maybe_persist, q_quality_score
 
     d = _docs(spark, sf_dir).where(F.col("doc_id") % _PROBE_MOD != 0)
@@ -1427,10 +1433,11 @@ def q_corpus_prep_budget(
     )
     # doc_id leads the struct and is unique, so the lexicographic min
     # never reaches the nullable quality field
-    canon = (
+    canon = _maybe_persist(
         fp.groupBy("fp")
         .agg(F.min(F.struct("doc_id", "source", "n_tokens", "quality")).alias("c"))
-        .select("c.doc_id", "c.source", "c.n_tokens", "c.quality")
+        .select("c.doc_id", "c.source", "c.n_tokens", "c.quality"),
+        storage_level,
     )
     kept = budget_fill(canon.where(F.col("quality").isNotNull()))
     return pack_offsets(

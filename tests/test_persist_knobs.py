@@ -79,3 +79,18 @@ def test_corpus_prep_persist_knob(spark, sf_dir):
         )
     )
     assert pure == knob
+
+
+def test_corpus_prep_budget_persist_matches_pure(spark, sf_dir):
+    from ocr_dataset_builder_spark.queries_quality import q_corpus_prep_budget
+
+    pure = sorted(map(tuple, q_corpus_prep_budget(spark, sf_dir).collect()))
+    knob = sorted(
+        map(
+            tuple,
+            q_corpus_prep_budget(
+                spark, sf_dir, storage_level="MEMORY_AND_DISK"
+            ).collect(),
+        )
+    )
+    assert pure == knob
