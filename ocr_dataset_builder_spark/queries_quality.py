@@ -1300,6 +1300,172 @@ WHERE o.cum_before < b.budget
 
 
 # ---------------------------------------------------------------------------
+# mixture_epochs — per-source repetition plan for a target mixture
+# ---------------------------------------------------------------------------
+
+_MAX_EPOCHS = 4  # repetition cap (data-constrained scaling guidance)
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLaMA-style remix plan: given per-source mixture weights and a
+    total training-token budget equal to the corpus size, how many
+    FULL epochs of each source does the run take, and what sampling
+    rate covers the fractional remainder? Sources whose target exceeds
+    the repetition cap (_MAX_EPOCHS full epochs) are capped and
+    flagged — the data-constrained-scaling guardrail that repeating a
+    small source indefinitely stops helping.
+
+    Weights are hash-derived per source (same deterministic-stand-in
+    trick as ``_RATE_BP_SPARK``); targets, epochs, and the residual
+    rate are all integer arithmetic (floor division to ppm), so the
+    plan is bit-identical on both engines. Shape: one partial-agg
+    shuffle on source + a 1-row broadcast of totals — the plan relation
+    is O(sources) regardless of corpus size."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(F.split(F.trim("text"), " ")).alias("n_tok")
+    )
+    w_bp = (_hex15(F.col("source")) % 9000 + 1000).cast("bigint")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("avail_tok")
+    ).withColumn("weight_bp", w_bp)
+    totals = per_src.agg(
+        F.sum("avail_tok").alias("_tt"), F.sum("weight_bp").alias("_tw")
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    target = F.floor(F.col("_tt") * F.col("weight_bp") / F.col("_tw")).cast(
+        "bigint"
+    )
+    j = j.withColumn("target_tok", target)
+    full = F.least(
+        F.floor(F.col("target_tok") / F.col("avail_tok")),
+        F.lit(_MAX_EPOCHS),
+    ).cast("bigint")
+    j = j.withColumn("full_epochs", full)
+    capped = (
+        F.floor(F.col("target_tok") / F.col("avail_tok")) >= _MAX_EPOCHS
+    )
+    residual = F.when(capped, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("target_tok") - F.col("full_epochs") * F.col("avail_tok"))
+            * 1000000
+            / F.col("avail_tok")
+        )
+    ).cast("bigint")
+    return j.select(
+        "source",
+        "avail_tok",
+        "weight_bp",
+        "target_tok",
+        "full_epochs",
+        residual.alias("residual_ppm"),
+        capped.alias("capped"),
+        (
+            F.col("full_epochs") * F.col("avail_tok")
+            + F.when(capped, F.lit(0)).otherwise(
+                F.col("target_tok") - full * F.col("avail_tok")
+            )
+        ).cast("bigint").alias("effective_tok"),
+    )
+
+
+SQL_MIXTURE_EPOCHS = f"""WITH d AS (
+  SELECT source, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+),
+per_src AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail_tok,
+         CAST({_HEX15_SQL('source')} % 9000 + 1000 AS BIGINT) AS weight_bp
+  FROM d GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(avail_tok) AS BIGINT) AS tt,
+         CAST(sum(weight_bp) AS BIGINT) AS tw
+  FROM per_src
+),
+plan AS (
+  SELECT source, avail_tok, weight_bp,
+         CAST(floor(tt * weight_bp / tw) AS BIGINT) AS target_tok,
+         floor(tt * weight_bp / tw / avail_tok) >= {_MAX_EPOCHS} AS capped
+  FROM per_src, tot
+),
+e AS (
+  SELECT *,
+         CAST(least(floor(target_tok / avail_tok), {_MAX_EPOCHS}) AS BIGINT)
+           AS full_epochs
+  FROM plan
+)
+SELECT source, avail_tok, weight_bp, target_tok, full_epochs,
+       CAST(CASE WHEN capped THEN 0
+            ELSE floor((target_tok - full_epochs * avail_tok) * 1000000
+                       / avail_tok) END AS BIGINT) AS residual_ppm,
+       capped,
+       CAST(full_epochs * avail_tok
+            + CASE WHEN capped THEN 0
+              ELSE target_tok - full_epochs * avail_tok END AS BIGINT)
+         AS effective_tok
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# packing_stats — padding-waste accounting per packing strategy
+# ---------------------------------------------------------------------------
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cost of one-doc-per-block padding vs GPT-style concat
+    packing at the _PACK_CAP block size: blocks needed each way and the
+    padded strategy's waste in ppm (floor). The question every loader
+    design asks before choosing ``pack_blocks``; pure integer
+    arithmetic in one partial-agg shuffle — ceil(a/b) spelled
+    floor((a+b-1)/b) so both engines stay in BIGINT."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(F.split(F.trim("text"), " ")).alias("n_tok")
+    )
+    blocks_padded = F.floor((F.col("n_tok") + _PACK_CAP - 1) / _PACK_CAP)
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.sum(blocks_padded).cast("bigint").alias("blocks_padded"),
+    )
+    blocks_concat = F.floor(
+        (F.col("sum_tok") + _PACK_CAP - 1) / _PACK_CAP
+    ).cast("bigint")
+    waste = F.floor(
+        (F.col("blocks_padded") * _PACK_CAP - F.col("sum_tok"))
+        * 1000000
+        / (F.col("blocks_padded") * _PACK_CAP)
+    ).cast("bigint")
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_tok",
+        "blocks_padded",
+        blocks_concat.alias("blocks_concat"),
+        waste.alias("padded_waste_ppm"),
+    )
+
+
+SQL_PACKING_STATS = f"""WITH d AS (
+  SELECT source, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         CAST(sum(floor((n_tok + {_PACK_CAP} - 1) / {_PACK_CAP})) AS BIGINT)
+           AS blocks_padded
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, sum_tok, blocks_padded,
+       CAST(floor((sum_tok + {_PACK_CAP} - 1) / {_PACK_CAP}) AS BIGINT)
+         AS blocks_concat,
+       CAST(floor((blocks_padded * {_PACK_CAP} - sum_tok) * 1000000
+                  / (blocks_padded * {_PACK_CAP})) AS BIGINT)
+         AS padded_waste_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_shuffle — deterministic training-order shuffle + offsets
 # ---------------------------------------------------------------------------
 
@@ -1534,4 +1700,6 @@ QUERIES: dict[str, tuple] = {
     "token_budget_sample": (q_token_budget_sample, _token_budget_sql()),
     "corpus_prep_budget": (q_corpus_prep_budget, _corpus_prep_budget_sql()),
     "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
+    "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
+    "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
 }

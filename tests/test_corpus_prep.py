@@ -284,3 +284,50 @@ def test_corpus_shuffle_is_offset_consistent_permutation(spark, sf_dir):
         for r in rows
     )
     assert [d for _, d in expect_order] == [r["doc_id"] for r in by_pos]
+
+
+def test_mixture_epochs_cap_and_conservation(spark, tmp_path):
+    """A tiny source with a big hash weight hits the _MAX_EPOCHS cap
+    (flagged, residual zeroed, effective = cap * avail); an uncapped
+    source's effective tokens reproduce its exact target. Column
+    arithmetic re-derived in Python from the same definitions."""
+    import os
+
+    from ocr_dataset_builder_spark.queries_quality import (
+        _MAX_EPOCHS,
+        q_mixture_epochs,
+    )
+
+    # srcA: 2 docs x 1000 tokens; srcB: 1 doc x 10 tokens. Whatever the
+    # hash weights, srcB's target is a large multiple of its 10 tokens
+    # unless its weight is < ~1/50 of srcA's — assert from the OUTPUT's
+    # own weights so the pin is hash-value-independent.
+    long = " ".join("w" for _ in range(1000))
+    short = " ".join("w" for _ in range(10))
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, long, "en", "srcA", len(long)), (1, long, "en", "srcA", len(long)),
+         (2, short, "en", "srcB", len(short))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["source"]: r for r in q_mixture_epochs(spark, d).collect()}
+    tt = sum(r["avail_tok"] for r in rows.values())
+    tw = sum(r["weight_bp"] for r in rows.values())
+    assert tt == 2010
+    for s, r in rows.items():
+        assert r["target_tok"] == tt * r["weight_bp"] // tw
+        raw_epochs = r["target_tok"] // r["avail_tok"]
+        if raw_epochs >= _MAX_EPOCHS:
+            assert r["capped"] and r["full_epochs"] == _MAX_EPOCHS
+            assert r["residual_ppm"] == 0
+            assert r["effective_tok"] == _MAX_EPOCHS * r["avail_tok"]
+        else:
+            assert not r["capped"] and r["full_epochs"] == raw_epochs
+            rem = r["target_tok"] - raw_epochs * r["avail_tok"]
+            assert r["residual_ppm"] == rem * 1000000 // r["avail_tok"]
+            assert r["effective_tok"] == r["target_tok"]
+    # srcB's weight is at least 1000/10000 bp while its avail is 10 of
+    # 2010 tokens -> raw epochs >= (2010 * 1000 // tw) // 10, which is
+    # >= _MAX_EPOCHS for every possible tw (<= 2 * 9999 + 1000)
+    assert rows["srcB"]["capped"]
+    assert not rows["srcA"]["capped"]
