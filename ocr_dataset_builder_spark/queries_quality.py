@@ -1406,6 +1406,85 @@ FROM e
 """
 
 
+def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the :func:`q_mixture_epochs` plan as the remixed
+    training corpus: every doc appears once per full epoch of its
+    source (epoch 0..full_epochs-1), and the fractional remainder is a
+    deterministic hash-selected subset (md5 bucket < residual_ppm) at
+    epoch = full_epochs — so the expanded stream hits each source's
+    token target without rand() and identically on re-runs.
+
+    Scale shape: the plan is an O(sources) broadcast; the expansion is
+    a scan-local explode whose fan-out is bounded by _MAX_EPOCHS+1 —
+    NO shuffle anywhere in the plan. At 10^12 docs this is a map-only
+    job whose output feeds ``corpus_shuffle``/``pack_offsets``."""
+    plan = q_mixture_epochs(spark, sf_dir).select(
+        "source", "full_epochs", "residual_ppm"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    j = d.join(F.broadcast(plan), "source")
+    fulls = j.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.col("full_epochs") > 0,
+                F.sequence(F.lit(0).cast("bigint"), F.col("full_epochs") - 1),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("epoch"),
+    )
+    residual = j.where(
+        _hex15(F.col("doc_id").cast("string")) % 1000000 < F.col("residual_ppm")
+    ).select("doc_id", "source", F.col("full_epochs").alias("epoch"))
+    return fulls.unionByName(residual)
+
+
+SQL_MIXTURE_EXPAND = f"""WITH d AS (
+  SELECT source, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+),
+per_src AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail_tok,
+         CAST({_HEX15_SQL('source')} % 9000 + 1000 AS BIGINT) AS weight_bp
+  FROM d GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(avail_tok) AS BIGINT) AS tt,
+         CAST(sum(weight_bp) AS BIGINT) AS tw
+  FROM per_src
+),
+plan AS (
+  SELECT source, avail_tok,
+         CAST(floor(tt * weight_bp / tw) AS BIGINT) AS target_tok,
+         floor(tt * weight_bp / tw / avail_tok) >= {_MAX_EPOCHS} AS capped
+  FROM per_src, tot
+),
+e AS (
+  SELECT source,
+         CAST(least(floor(target_tok / avail_tok), {_MAX_EPOCHS}) AS BIGINT)
+           AS full_epochs,
+         CAST(CASE WHEN capped THEN 0
+              ELSE floor((target_tok
+                          - least(floor(target_tok / avail_tok),
+                                  {_MAX_EPOCHS}) * avail_tok) * 1000000
+                         / avail_tok) END AS BIGINT) AS residual_ppm
+  FROM plan
+),
+fulls AS (
+  SELECT doc.doc_id, doc.source,
+         CAST(unnest(range(e.full_epochs)) AS BIGINT) AS epoch
+  FROM documents doc JOIN e ON e.source = doc.source
+),
+residual AS (
+  SELECT doc.doc_id, doc.source, e.full_epochs AS epoch
+  FROM documents doc JOIN e ON e.source = doc.source
+  WHERE {_HEX15_SQL('CAST(doc.doc_id AS VARCHAR)')} % 1000000 < e.residual_ppm
+)
+SELECT doc_id, source, epoch FROM fulls
+UNION ALL
+SELECT doc_id, source, epoch FROM residual
+"""
+
+
 # ---------------------------------------------------------------------------
 # packing_stats — padding-waste accounting per packing strategy
 # ---------------------------------------------------------------------------
@@ -1701,5 +1780,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_prep_budget": (q_corpus_prep_budget, _corpus_prep_budget_sql()),
     "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
+    "mixture_expand": (q_mixture_expand, SQL_MIXTURE_EXPAND),
     "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
 }

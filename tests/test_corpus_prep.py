@@ -331,3 +331,45 @@ def test_mixture_epochs_cap_and_conservation(spark, tmp_path):
     # >= _MAX_EPOCHS for every possible tw (<= 2 * 9999 + 1000)
     assert rows["srcB"]["capped"]
     assert not rows["srcA"]["capped"]
+
+
+def test_mixture_expand_matches_plan(spark, tmp_path):
+    """The expanded stream realizes the plan exactly: every doc of a
+    source appears full_epochs times at epochs 0..full-1, and the
+    residual subset (re-derived with Python md5) appears once more at
+    epoch = full_epochs. Uses the same skewed corpus as the cap test so
+    a capped source is exercised."""
+    import hashlib
+    import os
+    from collections import Counter
+
+    from ocr_dataset_builder_spark.queries_quality import (
+        q_mixture_epochs,
+        q_mixture_expand,
+    )
+
+    long = " ".join("w" for _ in range(1000))
+    short = " ".join("w" for _ in range(10))
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, long, "en", "srcA", len(long)), (1, long, "en", "srcA", len(long)),
+         (2, short, "en", "srcB", len(short))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    plan = {r["source"]: r for r in q_mixture_epochs(spark, d).collect()}
+    got = Counter(
+        (r["doc_id"], r["epoch"]) for r in q_mixture_expand(spark, d).collect()
+    )
+    assert all(v == 1 for v in got.values())  # (doc, epoch) unique
+    docs = {0: "srcA", 1: "srcA", 2: "srcB"}
+    for doc_id, src in docs.items():
+        p = plan[src]
+        expect_epochs = set(range(p["full_epochs"]))
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        if h % 1000000 < p["residual_ppm"]:
+            expect_epochs.add(p["full_epochs"])
+        assert {e for (i, e) in got if i == doc_id} == expect_epochs, doc_id
+    # the capped source really repeats: srcB appears exactly cap times
+    from ocr_dataset_builder_spark.queries_quality import _MAX_EPOCHS
+
+    assert sum(1 for (i, _e) in got if i == 2) == _MAX_EPOCHS
