@@ -1619,6 +1619,74 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# vocab_coverage — tokenizer-fit diagnostic against a corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 1000  # vocabulary size (top-K corpus tokens)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus's own top-K
+    token vocabulary — the shape of a tokenizer-fit check (how much of
+    each source a fixed vocab fails to cover; a real run swaps the
+    self-derived vocab for the tokenizer's). Emits per source: token
+    occurrences, occurrences outside the vocab, OOV ppm (floor), and
+    distinct OOV types.
+
+    Scale: token counts are one partial-agg shuffle; the vocab is a
+    bounded top-K (TakeOrdered — never a global sort of the vocabulary;
+    ties split by token string so both engines pick the identical set);
+    the vocab joins back as a broadcast. The per-source rollup is a
+    second partial agg. Nothing is ever ranked per source."""
+    toks = (
+        _norm_docs(spark, sf_dir)
+        .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
+        .select("source", F.explode(F.split("norm", " ")).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+        .select("tok")
+    )
+    j = toks.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left")
+    oov = F.col("_in").isNull()
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_tok_occ"),
+        F.sum(oov.cast("bigint")).alias("oov_occ"),
+        F.floor(
+            F.sum(oov.cast("bigint")) * 1000000 / F.count("*")
+        ).cast("bigint").alias("oov_ppm"),
+        F.count_distinct(F.when(oov, F.col("tok"))).alias("oov_types"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""WITH {_NORM_CTE},
+toks AS (
+  SELECT d.source, unnest(string_split(n.norm, ' ')) AS tok
+  FROM norm_docs n JOIN documents d ON d.doc_id = n.doc_id
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {_VOCAB_K}
+  )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tok_occ,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_occ,
+       CAST(floor(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+                  / count(*)) AS BIGINT) AS oov_ppm,
+       CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS BIGINT)
+         AS oov_types
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_prep_budget — the composed DCLM-style deliverable: quality
 # budget fill as the selection mechanism instead of per-source rates
 # ---------------------------------------------------------------------------
@@ -1782,4 +1850,5 @@ QUERIES: dict[str, tuple] = {
     "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
     "mixture_expand": (q_mixture_expand, SQL_MIXTURE_EXPAND),
     "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
 }
