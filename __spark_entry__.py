@@ -36,6 +36,7 @@ _PRIORITY = [
     "dedup_substr_apply", "ngram_posting_drops", "corpus_prep_substr_text",
     "corpus_prep_budget", "corpus_shuffle", "mixture_epochs",
     "mixture_expand", "packing_stats", "vocab_coverage",
+    "quality_deciles",
     # keep-first skew rewrite (min-struct agg replaced the per-fp
     # row_number window) touches these five's plans directly
     "substr_removal_spans", "dedup_substr_keep_first", "paragraph_dedup",

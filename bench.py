@@ -183,6 +183,7 @@ def main() -> None:
     timed("mixture_epochs", qq.q_mixture_epochs(spark, SF_DIR))
     timed("mixture_expand", qq.q_mixture_expand(spark, SF_DIR))
     timed("vocab_coverage", qq.q_vocab_coverage(spark, SF_DIR))
+    timed("quality_deciles", qq.q_quality_deciles(spark, SF_DIR))
     timed("packing_stats", qq.q_packing_stats(spark, SF_DIR))
     timed("quality_filter", qq.q_quality_filter(spark, SF_DIR))
     timed("unigram_logprob", qq.q_unigram_logprob(spark, SF_DIR))

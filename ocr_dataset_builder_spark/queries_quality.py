@@ -1619,6 +1619,99 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# quality_deciles — exact per-source decile table without doc ranking
+# ---------------------------------------------------------------------------
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quality-decile table: doc counts and quality
+    bounds for each decile of each source's quality distribution
+    (decile of a doc = floor(rank * 10 / n) over (quality ASC, doc_id)
+    order — ntile semantics with a deterministic tie-break). The
+    calibration table a quality-threshold choice reads.
+
+    Scale: the naive plan ranks every document per source (one window
+    over the doc relation — the exact shape this codebase bans). Here
+    ranks are never materialized: docs collapse to exact-quality
+    groups (<= 1e6+1 rows per source, same bound as
+    ``token_budget_sample``), the per-source prefix runs over groups,
+    and each group's rank INTERVAL [cum, cum+c-1] is intersected with
+    each decile's rank interval in closed form — a group spans <= 10
+    deciles, so the explode is bounded. Unscoreable (NULL-quality)
+    docs are excluded, as in the budget fill."""
+    from .queries_corpus import q_quality_score
+
+    qsc = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    d = qsc.where(F.col("quality").isNotNull()).join(src, "doc_id")
+    g = d.groupBy("source", "quality").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("cum", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    n_src = g.groupBy("source").agg(F.sum("c").alias("n"))
+    j = g.join(F.broadcast(n_src), "source")
+    d_lo = F.floor(F.col("cum") * 10 / F.col("n"))
+    d_hi = F.floor((F.col("cum") + F.col("c") - 1) * 10 / F.col("n"))
+    e = j.select(
+        "source",
+        "quality",
+        "c",
+        "cum",
+        "n",
+        F.explode(F.sequence(d_lo, d_hi)).alias("decile"),
+    )
+    # ranks of decile k: [ceil(k*n/10), ceil((k+1)*n/10) - 1]
+    k_lo = F.floor((F.col("decile") * F.col("n") + 9) / 10)
+    k_hi = F.floor(((F.col("decile") + 1) * F.col("n") + 9) / 10) - 1
+    overlap = (
+        F.least(F.col("cum") + F.col("c") - 1, k_hi)
+        - F.greatest(F.col("cum"), k_lo)
+        + 1
+    )
+    return (
+        e.withColumn("_ov", overlap)
+        .where(F.col("_ov") > 0)
+        .groupBy("source", "decile")
+        .agg(
+            F.sum("_ov").cast("bigint").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+    )
+
+
+def _quality_deciles_sql() -> str:
+    from .queries_corpus import _QUAL_BASE_CTE, _QUAL_EXPR_SQL
+
+    return f"""WITH {_NORM_CTE},
+{_QUAL_BASE_CTE},
+q AS (
+  SELECT doc_id, {_QUAL_EXPR_SQL} AS quality FROM qbase
+),
+d AS (
+  SELECT q.doc_id, s.source, q.quality
+  FROM q JOIN documents s ON s.doc_id = q.doc_id
+  WHERE q.quality IS NOT NULL
+),
+ranked AS (
+  SELECT source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality ASC, doc_id ASC) - 1 AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM d
+)
+SELECT source, CAST(floor(r * 10 / n) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(quality) AS min_q, max(quality) AS max_q
+FROM ranked
+GROUP BY source, decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # vocab_coverage — tokenizer-fit diagnostic against a corpus vocabulary
 # ---------------------------------------------------------------------------
 
@@ -1851,4 +1944,5 @@ QUERIES: dict[str, tuple] = {
     "mixture_expand": (q_mixture_expand, SQL_MIXTURE_EXPAND),
     "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "quality_deciles": (q_quality_deciles, _quality_deciles_sql()),
 }

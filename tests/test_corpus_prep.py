@@ -373,3 +373,45 @@ def test_mixture_expand_matches_plan(spark, tmp_path):
     from ocr_dataset_builder_spark.queries_quality import _MAX_EPOCHS
 
     assert sum(1 for (i, _e) in got if i == 2) == _MAX_EPOCHS
+
+
+def test_quality_deciles_degenerate_and_sparse(spark, tmp_path):
+    """One source where every doc ties on a single quality value (one
+    group must fan out across all 10 deciles — the interval-intersection
+    path, not the common case) and one source with fewer docs than
+    deciles. Counts pinned against a Python rank simulation."""
+    import os
+    from collections import Counter
+
+    from ocr_dataset_builder_spark.queries_corpus import q_quality_score
+    from ocr_dataset_builder_spark.queries_quality import q_quality_deciles
+
+    same = " ".join("the cat sat" for _ in range(10))
+    d = str(tmp_path / "corpus")
+    rows = [(i, same, "en", "srcU", len(same)) for i in range(25)]
+    rows += [(100 + i, " ".join("word" for _ in range(5 + i * 7)), "en", "srcS",
+              40 + i * 35) for i in range(3)]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    qual = {r["doc_id"]: r["quality"] for r in q_quality_score(spark, d).collect()}
+    got = {
+        (r["source"], r["decile"]): (r["n_docs"], r["min_q"], r["max_q"])
+        for r in q_quality_deciles(spark, d).collect()
+    }
+    for src, ids in (("srcU", range(25)), ("srcS", range(100, 103))):
+        docs = sorted((qual[i], i) for i in ids if qual[i] is not None)
+        n = len(docs)
+        expect = Counter()
+        bounds = {}
+        for r, (q, _i) in enumerate(docs):
+            k = r * 10 // n
+            expect[k] += 1
+            lo, hi = bounds.get(k, (q, q))
+            bounds[k] = (min(lo, q), max(hi, q))
+        for k, cnt in expect.items():
+            assert got[(src, k)] == (cnt, *bounds[k]), (src, k)
+        assert {k for (s, k) in got if s == src} == set(expect)
+    # the tie source really exercised the fan-out: all 10 deciles present
+    assert {k for (s, k) in got if s == "srcU"} == set(range(10))
