@@ -212,10 +212,17 @@ def main() -> None:
     timed("bloom_prefilter_stats", qsub.q_bloom_prefilter_stats(spark, SF_DIR))
     # the rollup's honest MARGINAL cost: a pipeline holds the per-doc
     # report it just signed off on (persisted + materialized outside the
-    # timed region) and pays only the source join + partial agg
+    # timed region) and pays only the source join + partial agg.
+    # Recorded under its own key — the historical `substr_dup_rate`
+    # key keeps timing the PURE form so cross-round BENCH_r* files
+    # stay comparable (ADVICE r5).
+    timed("substr_dup_rate", qsub.q_substr_dup_rate(spark, SF_DIR))
     per_doc = qsub.q_dedup_substrings(spark, SF_DIR).persist()
     per_doc.count()
-    timed("substr_dup_rate", qsub.q_substr_dup_rate(spark, SF_DIR, per_doc=per_doc))
+    timed(
+        "substr_dup_rate_marginal",
+        qsub.q_substr_dup_rate(spark, SF_DIR, per_doc=per_doc),
+    )
     per_doc.unpersist()
 
     common = {

@@ -1146,7 +1146,13 @@ def q_dedup_best_of_cluster(
     combined and skew-immune, per the keep-first discipline established
     for the substring family: NO row_number window (AQE skew-splitting
     applies to joins and aggs, never to windows), so a degenerate
-    million-member cluster costs a combine, not a single-task sort."""
+    million-member cluster costs a combine, not a single-task sort.
+
+    NULL quality (whitespace-only docs, the q_quality_score nchars=0
+    guard) sorts LOWEST in Spark's struct max — a mixed group elects
+    its best non-NULL member, and an all-NULL group still elects its
+    min-doc_id member with quality NULL. The oracle join is NULL-safe
+    (IS NOT DISTINCT FROM) so both engines keep such groups."""
     nd = _maybe_persist(_norm_docs(spark, sf_dir), storage_level)
     exact_keep = _exact_canonicals(nd)
     comps = q_near_dup_components(
@@ -1196,7 +1202,8 @@ mx AS (
   FROM members GROUP BY grp
 )
 SELECT min(m.doc_id) AS doc_id, m.grp, mx.n_members, mx.quality
-FROM members m JOIN mx ON m.grp = mx.grp AND m.quality = mx.quality
+FROM members m JOIN mx ON m.grp = mx.grp
+  AND m.quality IS NOT DISTINCT FROM mx.quality
 GROUP BY m.grp, mx.n_members, mx.quality
 """
 

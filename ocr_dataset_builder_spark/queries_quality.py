@@ -1332,23 +1332,20 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("avail_tok").alias("_tt"), F.sum("weight_bp").alias("_tw")
     )
     j = per_src.crossJoin(F.broadcast(totals))
-    target = F.floor(F.col("_tt") * F.col("weight_bp") / F.col("_tw")).cast(
-        "bigint"
-    )
+    # integer division (`div`) end to end: tt*weight_bp reaches ~10^16
+    # at the 10^12-token scale this plan targets, past double's 2^53
+    # exact-integer range — float division there would silently round
+    target = F.expr("_tt * weight_bp div _tw").cast("bigint")
     j = j.withColumn("target_tok", target)
     full = F.least(
-        F.floor(F.col("target_tok") / F.col("avail_tok")),
-        F.lit(_MAX_EPOCHS),
+        F.expr("target_tok div avail_tok"),
+        F.lit(_MAX_EPOCHS).cast("bigint"),
     ).cast("bigint")
     j = j.withColumn("full_epochs", full)
-    capped = (
-        F.floor(F.col("target_tok") / F.col("avail_tok")) >= _MAX_EPOCHS
-    )
+    capped = F.expr("target_tok div avail_tok") >= _MAX_EPOCHS
     residual = F.when(capped, F.lit(0)).otherwise(
-        F.floor(
-            (F.col("target_tok") - F.col("full_epochs") * F.col("avail_tok"))
-            * 1000000
-            / F.col("avail_tok")
+        F.expr(
+            "(target_tok - full_epochs * avail_tok) * 1000000 div avail_tok"
         )
     ).cast("bigint")
     return j.select(
@@ -1382,21 +1379,24 @@ tot AS (
   FROM per_src
 ),
 plan AS (
+  -- integer division (//) end to end, flooring target_tok FIRST,
+  -- matching the Spark `div` derivation exactly (no double rounding
+  -- once tt*weight_bp exceeds 2^53)
   SELECT source, avail_tok, weight_bp,
-         CAST(floor(tt * weight_bp / tw) AS BIGINT) AS target_tok,
-         floor(tt * weight_bp / tw / avail_tok) >= {_MAX_EPOCHS} AS capped
+         CAST((tt * weight_bp) // tw AS BIGINT) AS target_tok,
+         ((tt * weight_bp) // tw) // avail_tok >= {_MAX_EPOCHS} AS capped
   FROM per_src, tot
 ),
 e AS (
   SELECT *,
-         CAST(least(floor(target_tok / avail_tok), {_MAX_EPOCHS}) AS BIGINT)
+         CAST(least(target_tok // avail_tok, {_MAX_EPOCHS}) AS BIGINT)
            AS full_epochs
   FROM plan
 )
 SELECT source, avail_tok, weight_bp, target_tok, full_epochs,
        CAST(CASE WHEN capped THEN 0
-            ELSE floor((target_tok - full_epochs * avail_tok) * 1000000
-                       / avail_tok) END AS BIGINT) AS residual_ppm,
+            ELSE ((target_tok - full_epochs * avail_tok) * 1000000)
+                 // avail_tok END AS BIGINT) AS residual_ppm,
        capped,
        CAST(full_epochs * avail_tok
             + CASE WHEN capped THEN 0
@@ -1454,19 +1454,19 @@ tot AS (
 ),
 plan AS (
   SELECT source, avail_tok,
-         CAST(floor(tt * weight_bp / tw) AS BIGINT) AS target_tok,
-         floor(tt * weight_bp / tw / avail_tok) >= {_MAX_EPOCHS} AS capped
+         CAST((tt * weight_bp) // tw AS BIGINT) AS target_tok,
+         ((tt * weight_bp) // tw) // avail_tok >= {_MAX_EPOCHS} AS capped
   FROM per_src, tot
 ),
 e AS (
   SELECT source,
-         CAST(least(floor(target_tok / avail_tok), {_MAX_EPOCHS}) AS BIGINT)
+         CAST(least(target_tok // avail_tok, {_MAX_EPOCHS}) AS BIGINT)
            AS full_epochs,
          CAST(CASE WHEN capped THEN 0
-              ELSE floor((target_tok
-                          - least(floor(target_tok / avail_tok),
-                                  {_MAX_EPOCHS}) * avail_tok) * 1000000
-                         / avail_tok) END AS BIGINT) AS residual_ppm
+              ELSE ((target_tok
+                     - least(target_tok // avail_tok,
+                             {_MAX_EPOCHS}) * avail_tok) * 1000000)
+                   // avail_tok END AS BIGINT) AS residual_ppm
   FROM plan
 ),
 fulls AS (

@@ -66,9 +66,18 @@ def get_spark(
         for key, value in (extra_conf or {}).items():
             # already carrying the requested value (e.g. it was applied
             # at builder time by the call that created this session):
-            # nothing to do, and no warning — the knob IS in effect
+            # nothing to do, and no warning — the knob IS in effect.
+            # conf.get always returns a string; normalize the requested
+            # value to Spark's string form (bools lowercase) so e.g.
+            # False or 32 matches its own in-effect setting instead of
+            # falling through to a spurious set + warning.
             try:
-                if active.conf.get(key) == value:
+                current = active.conf.get(key)
+                if isinstance(value, bool):
+                    wanted = str(value).lower()
+                else:
+                    wanted = str(value)
+                if current == wanted:
                     continue
             except Exception:
                 pass
