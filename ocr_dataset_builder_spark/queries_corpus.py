@@ -1856,6 +1856,13 @@ def _assign_to(e: DataFrame, cent: DataFrame, rank_max: int) -> DataFrame:
     )
 
 
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v) — the embedding relation cast to double once."""
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
 def _trained_centroids(
     spark: SparkSession, sf_dir: str, iters: int = _KM_ITERS
 ) -> tuple[DataFrame, DataFrame]:
@@ -1866,9 +1873,7 @@ def _trained_centroids(
     localCheckpoint-ed per iteration so the lineage (and the broadcast
     plan feeding the next step) stays flat instead of growing a
     crossJoin chain the optimizer must re-expand every round."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    e = _vectors(spark, sf_dir)
     cent = e.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -1881,6 +1886,21 @@ def _trained_centroids(
         assign = _assign_to(e, cent, 1).select("vec_id", "cent_id")
         cent = _centroid_means(assign, e).localCheckpoint()
     return e, cent
+
+
+def _vectors_and_centroids(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The trainer-sharing knob for the semantic family (same pattern as
+    q_substr_dup_rate's per_doc=): a pipeline that already holds a
+    trained (cent_id, cv) relation passes it as ``centroids=`` and every
+    downstream query reuses it — ONE trainer job feeding semantic_dedup
+    + stats + prototypes + prep instead of four re-runs of the Lloyd
+    iterations. Default None keeps the registered pure form (train from
+    scratch), which the driver oracle grades."""
+    if centroids is None:
+        return _trained_centroids(spark, sf_dir)
+    return _vectors(spark, sf_dir), centroids
 
 
 def train_kmeans_converged(
@@ -2281,7 +2301,9 @@ _SEM_DUP_MIN = _COS_DUP_MIN
 _SEM_CLUSTER_CAP = 4096
 
 
-def _semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semantic_flags(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame | None = None
+) -> DataFrame:
     """Per-vector SemDeDup verdict: cluster id, number of same-cluster
     duplicate neighbors (cos >= _SEM_DUP_MIN), max such cosine, and the
     keep flag. Keep policy (deterministic variant of the paper's): among
@@ -2298,7 +2320,7 @@ def _semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast), one self-join keyed on cent_id carrying vectors only
     for in-cap clusters, in-row double-fold cosine, one per-vector agg.
     No window over a skewable key anywhere."""
-    e, cent = _trained_centroids(spark, sf_dir)
+    e, cent = _vectors_and_centroids(spark, sf_dir, centroids)
     assign = _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
     return _semantic_flags_from(assign, e)
 
@@ -2349,18 +2371,36 @@ def _semantic_flags_from(assign: DataFrame, e: DataFrame) -> DataFrame:
     )
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """SemDeDup per-vector report: every vector with its cluster, dup
-    neighborhood size, max within-cluster cosine, and keep verdict."""
-    return _semantic_flags(spark, sf_dir)
+    neighborhood size, max within-cluster cosine, and keep verdict.
+
+    ``centroids=`` reuses an already-trained (cent_id, cv) relation
+    (see _vectors_and_centroids); default trains from scratch."""
+    return _semantic_flags(spark, sf_dir, centroids)
 
 
-def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame | None = None,
+    flags: DataFrame | None = None,
+) -> DataFrame:
     """Per-cluster SemDeDup rollup — the observability a run signs off
     on: members, kept, dropped, and the drop rate in integer ppm
     (half-up integer division; float round(x, 6) ties are
-    engine-dependent)."""
-    flags = _semantic_flags(spark, sf_dir)
+    engine-dependent).
+
+    ``flags=`` rolls up a per-vector verdict relation the pipeline
+    already holds (the marginal form — same pattern as
+    q_substr_dup_rate's per_doc=); ``centroids=`` shares just the
+    trainer. Defaults keep the registered pure form."""
+    if flags is None:
+        flags = _semantic_flags(spark, sf_dir, centroids)
     return (
         flags.groupBy("cent_id")
         .agg(
@@ -2483,12 +2523,16 @@ def _proto_flags(assign: DataFrame) -> DataFrame:
     )
 
 
-def q_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cluster_prototypes(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """Prototypicality report per vector: cluster, distance to centroid,
     cluster mean distance, and the prune verdict (keep_proto=false marks
     the prototypical core). One broadcast join of the k-row mean table —
-    no window, no quadratic."""
-    e, cent = _trained_centroids(spark, sf_dir)
+    no window, no quadratic. ``centroids=`` shares a held trainer."""
+    e, cent = _vectors_and_centroids(spark, sf_dir, centroids)
     assign = _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
     return _proto_flags(assign).select(
         "vec_id",
@@ -2499,12 +2543,17 @@ def q_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_semantic_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_prep(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """The composed D4 pipeline verdict: SemDeDup keep AND prototype
     keep, per vector. keep = survives BOTH the within-cluster duplicate
     dominance rule and the prototypical-core prune. The two flag
-    families share one trainer/assignment plan."""
-    e, cent = _trained_centroids(spark, sf_dir)
+    families share one trainer/assignment plan; ``centroids=`` extends
+    the sharing across queries (one trainer job per pipeline run)."""
+    e, cent = _vectors_and_centroids(spark, sf_dir, centroids)
     assign = _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
     sem = _semantic_flags_from(assign, e).select(
         "vec_id", "cent_id", F.col("keep").alias("keep_dedup")

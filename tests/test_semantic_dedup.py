@@ -184,3 +184,41 @@ def test_degenerate_all_identical_embeddings(spark):
     for r in rows:
         assert r["n_dup_neighbors"] == n // 2 - 1, r
         assert r["max_cos"] == 1.0, r
+
+
+def test_centroids_knob_marginal_equals_pure(spark, sf_dir):
+    """Trainer-sharing knob (r5 verdict #2): every semantic-family query
+    run over a HELD trained-centroid relation must equal its pure form
+    bit-for-bit — the knob changes where the trainer runs, never what
+    any query computes."""
+    cent = qc._trained_centroids(spark, sf_dir)[1].persist()
+    cent.count()
+    try:
+        for fn in (
+            qc.q_semantic_dedup,
+            qc.q_semantic_dedup_stats,
+            qc.q_cluster_prototypes,
+            qc.q_semantic_prep,
+        ):
+            pure = sorted(map(tuple, fn(spark, sf_dir).collect()))
+            held = sorted(map(tuple, fn(spark, sf_dir, centroids=cent).collect()))
+            assert pure == held, fn.__name__
+    finally:
+        cent.unpersist()
+
+
+def test_flags_knob_marginal_equals_pure(spark, sf_dir):
+    """stats over a held per-vector verdict relation == pure stats."""
+    flags = qc.q_semantic_dedup(spark, sf_dir).persist()
+    flags.count()
+    try:
+        pure = sorted(map(tuple, qc.q_semantic_dedup_stats(spark, sf_dir).collect()))
+        held = sorted(
+            map(
+                tuple,
+                qc.q_semantic_dedup_stats(spark, sf_dir, flags=flags).collect(),
+            )
+        )
+        assert pure == held
+    finally:
+        flags.unpersist()
