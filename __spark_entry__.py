@@ -27,32 +27,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # is the oldest, (3) the recently-re-verified rest. A semantics-changing
 # edit can then never coast on a stale green row.
 _PRIORITY = [
-    # -- tier 1: round-5 code changes ------------------------------------
+    # -- tier 1: round-6 code changes ------------------------------------
     # brand new this round (zero driver rows)
+    "corpus_prep_final",
+    # oracle/arithmetic fixed after their r5 row (NULL-safe best-of
+    # oracle; integer mixture arithmetic both engines)
+    "dedup_best_of_cluster", "mixture_epochs", "mixture_expand",
+    # trainer-sharing knob refactor touched these plans' construction
     "semantic_dedup", "semantic_dedup_stats",
     "cluster_prototypes", "semantic_prep",
-    "dedup_best_of_cluster", "bloom_prefilter_stats", "para_freq_filter",
-    "token_budget_sample",
-    "dedup_substr_apply", "ngram_posting_drops", "corpus_prep_substr_text",
-    "corpus_prep_budget", "corpus_shuffle", "mixture_epochs",
-    "mixture_expand", "packing_stats", "vocab_coverage",
-    "quality_deciles",
-    # keep-first skew rewrite (min-struct agg replaced the per-fp
-    # row_number window) touches these five's plans directly
-    "substr_removal_spans", "dedup_substr_keep_first", "paragraph_dedup",
-    "dedup_incremental", "corpus_prep_substr",
-    # default-persist / plan-sharing / signature changes
-    "substr_dup_rate", "dedup_substrings",
-    # construction-time guard rewritten (limit-probe instead of count)
-    "embedding_near_dup",
-    # -- tier 2: latest driver row is r2 AND the module was edited in r4
-    # (queries_corpus.py: caps/guards/trainer work) — stale-row risk
+    # -- tier 2: latest driver row is r2 (oldest evidence; per the r5
+    # verdict the stale cohort heads the rotation this round)
     "ngram_jaccard", "minhash_sig", "minhash_lsh", "minhash_lsh_stats",
     "minhash_jaccard_verify", "dedup_exact", "dedup_corpus",
     "near_dup_components", "token_stats", "length_percentiles",
     "top_terms", "quality_score", "lang_id", "doc_fingerprint",
     "ann_cosine_topk", "ann_ivf_assign",
-    # -- tier 3: latest driver row is r2, module untouched since
     "sample_k", "slice_window", "batch_stats", "batch_assemble",
     "dedup_encode", "fref_decode", "same_as_prev", "strict_join_ocr",
     "ext_fallback_join", "positional_join", "summary_broadcast",
@@ -60,12 +50,12 @@ _PRIORITY = [
     "batch_validation", "key_priority", "cleaning_pairs", "pass_counters",
     "doc_cost", "cost_stats", "cost_tiered_models", "ocr_rollup",
     "densify_frames", "allowlist_filter",
-    # -- tier 4: latest driver row is r3
+    # -- tier 3: latest driver row is r3
     "kmeans_step", "ann_recall", "ann_lsh_bucket", "embedding_near_dup_lsh",
     "events_json_props", "events_pivot", "events_funnel",
     "dedup_cross_source", "skew_stats", "fps_filter",
     "flagship_extract", "span_seq", "ocr_clean", "media_frames",
-    # -- tier 5: green in r4 (the registry default order appends the rest)
+    # -- tier 4: green in r4/r5 (the registry default order appends the rest)
 ]
 
 
@@ -83,6 +73,7 @@ def _registry() -> dict[str, tuple]:
         "queries_events",
         "queries_html",
         "queries_quality",
+        "queries_final",
     ):
         try:
             import importlib

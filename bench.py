@@ -232,6 +232,14 @@ def main() -> None:
     )
     held_cent.unpersist()
 
+    # the composed training-ready-corpus deliverable: the trainer AND the
+    # two localCheckpoint stage barriers run at construction -> factory
+    from ocr_dataset_builder_spark.queries_final import q_corpus_prep_final
+
+    timed_factory(
+        "corpus_prep_final", lambda: q_corpus_prep_final(spark, SF_DIR)
+    )
+
     from ocr_dataset_builder_spark import queries_substr as qsub
 
     timed("substr_dup_spans", qsub.q_substr_dup_spans(spark, SF_DIR))
