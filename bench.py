@@ -212,6 +212,10 @@ def main() -> None:
     # ONCE (held centroid relation, persisted + materialized outside the
     # timed region) and each family member pays only its own plan —
     # quantifies the r5 verdict's "one trainer job instead of four"
+    timed_factory(
+        "semantic_dedup_incremental",
+        lambda: qc.q_semantic_dedup_incremental(spark, SF_DIR),
+    )
     held_cent = qc._trained_centroids(spark, SF_DIR)[1].persist()
     held_cent.count()
     timed(

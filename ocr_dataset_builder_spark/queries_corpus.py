@@ -1864,7 +1864,10 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trained_centroids(
-    spark: SparkSession, sf_dir: str, iters: int = _KM_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _KM_ITERS,
+    e: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(vectors, centroids-after-iters). The trainer loop is driver-side
     — iterative algorithms are the one legitimate driver loop (same
@@ -1872,8 +1875,11 @@ def _trained_centroids(
     distributed Lloyd step, and the tiny centroid table is
     localCheckpoint-ed per iteration so the lineage (and the broadcast
     plan feeding the next step) stays flat instead of growing a
-    crossJoin chain the optimizer must re-expand every round."""
-    e = _vectors(spark, sf_dir)
+    crossJoin chain the optimizer must re-expand every round.
+    ``e`` overrides the (vec_id, v) training relation — the incremental
+    query trains on the STORE subset only."""
+    if e is None:
+        e = _vectors(spark, sf_dir)
     cent = e.where(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -1985,14 +1991,16 @@ _KM_D2_TRAINED_SQL = """list_reduce(
            (x, y) -> x + y)"""
 
 
-def _kmeans_train_cte(iters: int = _KM_ITERS) -> str:
+def _kmeans_train_cte(iters: int = _KM_ITERS, src: str = "embeddings") -> str:
     """Unrolled Lloyd iterations as a CTE chain: cent0 = seeds;
-    for i in 1..iters: a_i = assign vs cent_{i-1}, cent_i = means."""
+    for i in 1..iters: a_i = assign vs cent_{i-1}, cent_i = means.
+    ``src`` names the (vec_id, embedding) relation to train on — the
+    incremental oracle trains on the STORE subset only."""
     parts = [
         f"""cent0 AS (
   SELECT vec_id AS cent_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+  FROM {src} WHERE vec_id % {_IVF_CENTROID_MOD} = 0
 )"""
     ]
     for i in range(1, iters + 1):
@@ -2001,7 +2009,7 @@ def _kmeans_train_cte(iters: int = _KM_ITERS) -> str:
     SELECT e.vec_id, c.cent_id,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {_KM_D2_TRAINED_SQL} ASC, c.cent_id ASC) AS rnk
-    FROM embeddings e CROSS JOIN cent{i - 1} c
+    FROM {src} e CROSS JOIN cent{i - 1} c
   ) WHERE rnk = 1
 ),
 p{i} AS (
@@ -2013,7 +2021,7 @@ p{i} AS (
            unnest(list_transform(range(1, len(e.embedding) + 1),
                   i -> {{'dim': CAST(i - 1 AS INT),
                          'val': CAST(e.embedding[i] AS DOUBLE)}})) AS u
-    FROM embeddings e) u
+    FROM {src} e) u
   JOIN a{i} a ON a.vec_id = u.vec_id
   GROUP BY 1, 2
 ),
@@ -2425,42 +2433,57 @@ _SEM_COS_SQL = (
     f"sqrt({_d_n2_sql('ea.embedding')} * {_d_n2_sql('eb.embedding')}), 4)"
 )
 
-_SEM_FLAGS_CTES = f"""{_kmeans_train_cte()},
-sd_assign AS (
+def _sem_assign_cte(src: str, name: str) -> str:
+    """1-NN assignment of a (vec_id, embedding) relation against the
+    trained cent{_KM_ITERS} centroid CTE."""
+    return f"""{name} AS (
   SELECT vec_id, cent_id, d2 FROM (
     SELECT e.vec_id, c.cent_id, {_KM_D2_TRAINED_SQL} AS d2,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {_KM_D2_TRAINED_SQL} ASC, c.cent_id ASC) AS rnk
-    FROM embeddings e CROSS JOIN cent{_KM_ITERS} c
+    FROM {src} e CROSS JOIN cent{_KM_ITERS} c
   ) WHERE rnk = 1
-),
-sd_csize AS (SELECT cent_id, count(*) AS cn FROM sd_assign GROUP BY 1),
-sd_small AS (
-  SELECT a.* FROM sd_assign a
-  JOIN sd_csize s ON s.cent_id = a.cent_id
+)"""
+
+
+def _sem_verdict_ctes(assign: str, src: str, p: str) -> str:
+    """The SemDeDup verdict CTE chain over an assignment CTE ``assign``
+    whose vectors live in ``src`` — the SQL twin of
+    _semantic_flags_from, emitted once per prefix ``p`` so the
+    incremental oracle can run it over the store and again over the
+    batch survivors without a hand-written third copy."""
+    return f"""{p}csize AS (SELECT cent_id, count(*) AS cn FROM {assign} GROUP BY 1),
+{p}small AS (
+  SELECT a.* FROM {assign} a
+  JOIN {p}csize s ON s.cent_id = a.cent_id
   WHERE s.cn <= {_SEM_CLUSTER_CAP}
 ),
-sd_dup AS (
+{p}dup AS (
   SELECT a.vec_id, a.d2, b.vec_id AS b_id, b.d2 AS b_d2,
          {_SEM_COS_SQL} AS cos
-  FROM sd_small a
-  JOIN sd_small b ON b.cent_id = a.cent_id AND b.vec_id <> a.vec_id
-  JOIN embeddings ea ON ea.vec_id = a.vec_id
-  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  FROM {p}small a
+  JOIN {p}small b ON b.cent_id = a.cent_id AND b.vec_id <> a.vec_id
+  JOIN {src} ea ON ea.vec_id = a.vec_id
+  JOIN {src} eb ON eb.vec_id = b.vec_id
   WHERE {_SEM_COS_SQL} >= {_SEM_DUP_MIN}
 ),
-sd_agg AS (
+{p}agg AS (
   SELECT vec_id, count(*) AS n_dup_neighbors, max(cos) AS max_cos,
          bool_or(b_d2 > d2 OR (b_d2 = d2 AND b_id > vec_id)) AS dominated
-  FROM sd_dup GROUP BY 1
+  FROM {p}dup GROUP BY 1
 ),
-sd_flags AS (
+{p}flags AS (
   SELECT a.vec_id, a.cent_id,
          CAST(coalesce(g.n_dup_neighbors, 0) AS BIGINT) AS n_dup_neighbors,
          g.max_cos,
          NOT coalesce(g.dominated, FALSE) AS keep
-  FROM sd_assign a LEFT JOIN sd_agg g ON g.vec_id = a.vec_id
+  FROM {assign} a LEFT JOIN {p}agg g ON g.vec_id = a.vec_id
 )"""
+
+
+_SEM_FLAGS_CTES = f"""{_kmeans_train_cte()},
+{_sem_assign_cte("embeddings", "sd_assign")},
+{_sem_verdict_ctes("sd_assign", "embeddings", "sd_")}"""
 
 SQL_SEMANTIC_DEDUP = f"""WITH {_SEM_FLAGS_CTES}
 SELECT vec_id, cent_id, n_dup_neighbors, max_cos, keep FROM sd_flags
@@ -2595,6 +2618,154 @@ FROM sd_flags f JOIN sp_flags p ON p.vec_id = f.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic_dedup_incremental — the daily-crawl shape for embeddings
+# ---------------------------------------------------------------------------
+#
+# The substring family has the incremental/index shape
+# (queries_substr.dedup_against_index, streaming/dedup_daemon.py); this
+# is its semantic twin: a NEW embedding batch is assigned to STORED
+# centroids (never retrained on arrival), compared ONLY against the
+# stored KEPT members of its own cluster (store hits are dropped
+# outright — the store already owns that content), and the store misses
+# SemDeDup-dedup among themselves within the batch. Mirrors
+# _incremental_removal_starts' hit/miss policy exactly.
+
+_SEM_NEW_MOD = 10  # registered query: vec_id % 10 >= 8 is the "new" batch
+
+
+def semantic_incremental_verdicts(
+    new: DataFrame, stored_kept: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """Pipeline API: per-NEW-vector incremental verdict.
+
+    ``new``: (vec_id, v double[]) batch; ``stored_kept``: (vec_id,
+    cent_id, v) the store's already-kept members; ``cent``: the STORED
+    (cent_id, cv) centroids. Output per new vector: cluster, number of
+    stored-kept duplicates (cos >= _SEM_DUP_MIN), store_dup, and keep
+    (survived the store AND not dominated within the batch survivors).
+
+    Scale: centroid assignment is a broadcast of the k-row centroid
+    table; the store compare joins the batch against stored-kept rows
+    keyed on cent_id with the same _SEM_CLUSTER_CAP guard as the batch
+    family (an over-cap store cluster skips the compare rather than
+    detonating a quadratic — observable via n_store_dups = 0); the
+    batch-internal pass reuses _semantic_flags_from. No window over a
+    skewable key; the store relation never joins itself."""
+    n_assign = _assign_to(new, cent, 1).select("vec_id", "cent_id", "d2")
+    ksize = stored_kept.groupBy("cent_id").agg(F.count("*").alias("kn"))
+    small_k = stored_kept.join(
+        F.broadcast(
+            ksize.where(F.col("kn") <= _SEM_CLUSTER_CAP).select("cent_id")
+        ),
+        "cent_id",
+    )
+    nv = n_assign.select("vec_id", "cent_id").join(new, "vec_id")
+    cos = F.round(
+        _fold_double(F.zip_with("v", "kv", lambda x, y: x * y))
+        / F.sqrt(_n2_double(F.col("v")) * _n2_double(F.col("kv"))),
+        4,
+    )
+    cmp = (
+        nv.join(small_k.select("cent_id", F.col("v").alias("kv")), "cent_id")
+        .select("vec_id", cos.alias("cos"))
+        .where(F.col("cos") >= _SEM_DUP_MIN)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_store_dups"))
+    )
+    surv = n_assign.join(cmp, "vec_id", "left_anti")
+    b_flags = _semantic_flags_from(surv, new).select(
+        "vec_id", F.col("keep").alias("batch_keep")
+    )
+    return (
+        n_assign.join(cmp, "vec_id", "left")
+        .join(b_flags, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.coalesce("n_store_dups", F.lit(0))
+            .cast("bigint")
+            .alias("n_store_dups"),
+            (F.coalesce("n_store_dups", F.lit(0)) > 0).alias("store_dup"),
+            F.coalesce("batch_keep", F.lit(False)).alias("keep"),
+        )
+    )
+
+
+def q_semantic_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Registered driver form (store derived in-plan so the oracle can
+    recompute it): vec_id % 10 < 8 is the EXISTING store, the rest the
+    new batch. Centroids train on the STORE ONLY (the daily-crawl
+    discipline: arrival never retrains the quantizer); the store's own
+    kept set comes from the standard SemDeDup verdict over the store.
+    ``centroids=`` substitutes a held stored-centroid relation (e.g.
+    the ann_ivf_trained artifact) for the in-plan trainer."""
+    e = _vectors(spark, sf_dir)
+    store = e.where(F.col("vec_id") % _SEM_NEW_MOD < 8)
+    new = e.where(F.col("vec_id") % _SEM_NEW_MOD >= 8)
+    if centroids is None:
+        _, cent = _trained_centroids(spark, sf_dir, e=store)
+    else:
+        cent = centroids
+    s_assign = _assign_to(store, cent, 1).select("vec_id", "cent_id", "d2")
+    s_keep = (
+        _semantic_flags_from(s_assign, store)
+        .where(F.col("keep"))
+        .select("vec_id")
+    )
+    stored_kept = (
+        s_assign.select("vec_id", "cent_id")
+        .join(s_keep, "vec_id")
+        .join(store, "vec_id")
+    )
+    return semantic_incremental_verdicts(new, stored_kept, cent)
+
+
+SQL_SEMANTIC_DEDUP_INCREMENTAL = f"""WITH store_emb AS (
+  SELECT * FROM embeddings WHERE vec_id % {_SEM_NEW_MOD} < 8
+),
+new_emb AS (
+  SELECT * FROM embeddings WHERE vec_id % {_SEM_NEW_MOD} >= 8
+),
+{_kmeans_train_cte(src="store_emb")},
+{_sem_assign_cte("store_emb", "st_assign")},
+{_sem_verdict_ctes("st_assign", "store_emb", "st_")},
+sk AS (
+  SELECT a.vec_id, a.cent_id FROM st_assign a
+  JOIN st_flags f ON f.vec_id = a.vec_id
+  WHERE f.keep
+),
+ksize AS (SELECT cent_id, count(*) AS kn FROM sk GROUP BY 1),
+{_sem_assign_cte("new_emb", "ni_assign")},
+scmp AS (
+  SELECT a.vec_id, count(*) AS n_store_dups
+  FROM ni_assign a
+  JOIN ksize z ON z.cent_id = a.cent_id AND z.kn <= {_SEM_CLUSTER_CAP}
+  JOIN sk k ON k.cent_id = a.cent_id
+  JOIN new_emb ea ON ea.vec_id = a.vec_id
+  JOIN store_emb eb ON eb.vec_id = k.vec_id
+  WHERE {_SEM_COS_SQL} >= {_SEM_DUP_MIN}
+  GROUP BY 1
+),
+bsurv AS (
+  SELECT * FROM ni_assign
+  WHERE vec_id NOT IN (SELECT vec_id FROM scmp)
+),
+{_sem_verdict_ctes("bsurv", "new_emb", "bt_")}
+SELECT n.vec_id, n.cent_id,
+       CAST(coalesce(c.n_store_dups, 0) AS BIGINT) AS n_store_dups,
+       coalesce(c.n_store_dups, 0) > 0 AS store_dup,
+       coalesce(b.keep, FALSE) AS keep
+FROM ni_assign n
+LEFT JOIN scmp c ON c.vec_id = n.vec_id
+LEFT JOIN bt_flags b ON b.vec_id = n.vec_id
+"""
+
+
 _ALLOWLIST = ("3", "7", "12", "9999991")  # last id never exists
 
 
@@ -2680,4 +2851,8 @@ QUERIES: dict[str, tuple] = {
     "semantic_dedup_stats": (q_semantic_dedup_stats, SQL_SEMANTIC_DEDUP_STATS),
     "cluster_prototypes": (q_cluster_prototypes, SQL_CLUSTER_PROTOTYPES),
     "semantic_prep": (q_semantic_prep, SQL_SEMANTIC_PREP),
+    "semantic_dedup_incremental": (
+        q_semantic_dedup_incremental,
+        SQL_SEMANTIC_DEDUP_INCREMENTAL,
+    ),
 }

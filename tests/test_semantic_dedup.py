@@ -207,6 +207,55 @@ def test_centroids_knob_marginal_equals_pure(spark, sf_dir):
         cent.unpersist()
 
 
+def test_incremental_centroids_knob_matches_pure(spark, sf_dir):
+    """q_semantic_dedup_incremental over a HELD store-trained centroid
+    relation == the pure form (which trains on the store in-plan)."""
+    from pyspark.sql import functions as F
+
+    store = qc._vectors(spark, sf_dir).where(
+        F.col("vec_id") % qc._SEM_NEW_MOD < 8
+    )
+    cent = qc._trained_centroids(spark, sf_dir, e=store)[1].persist()
+    cent.count()
+    try:
+        pure = sorted(
+            map(tuple, qc.q_semantic_dedup_incremental(spark, sf_dir).collect())
+        )
+        held = sorted(
+            map(
+                tuple,
+                qc.q_semantic_dedup_incremental(
+                    spark, sf_dir, centroids=cent
+                ).collect(),
+            )
+        )
+        assert pure == held
+    finally:
+        cent.unpersist()
+
+
+def test_incremental_first_batch_no_store_dups(spark, sf_dir):
+    """With an EMPTY kept-store the incremental verdict degenerates to
+    plain within-batch SemDeDup (the first-day case)."""
+    from pyspark.sql import functions as F
+
+    e = qc._vectors(spark, sf_dir)
+    new = e.where(F.col("vec_id") % qc._SEM_NEW_MOD >= 8)
+    cent = qc._trained_centroids(spark, sf_dir, e=new)[1]
+    empty = new.where(F.lit(False)).select(
+        "vec_id", F.lit(0).cast("bigint").alias("cent_id"), "v"
+    )
+    got = qc.semantic_incremental_verdicts(new, empty, cent).collect()
+    assert all(r["n_store_dups"] == 0 and not r["store_dup"] for r in got)
+    flags = {
+        r["vec_id"]: r["keep"]
+        for r in qc._semantic_flags_from(
+            qc._assign_to(new, cent, 1).select("vec_id", "cent_id", "d2"), new
+        ).collect()
+    }
+    assert {r["vec_id"]: r["keep"] for r in got} == flags
+
+
 def test_flags_knob_marginal_equals_pure(spark, sf_dir):
     """stats over a held per-vector verdict relation == pure stats."""
     flags = qc.q_semantic_dedup(spark, sf_dir).persist()
