@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # -- tier 1: round-6 code changes ------------------------------------
     # brand new this round (zero driver rows)
-    "corpus_prep_final",
+    "corpus_prep_final", "semantic_dedup_incremental",
+    "semantic_dedup_incremental_stats",
     # oracle/arithmetic fixed after their r5 row (NULL-safe best-of
     # oracle; integer mixture arithmetic both engines)
     "dedup_best_of_cluster", "mixture_epochs", "mixture_expand",

@@ -2725,7 +2725,7 @@ def q_semantic_dedup_incremental(
     return semantic_incremental_verdicts(new, stored_kept, cent)
 
 
-SQL_SEMANTIC_DEDUP_INCREMENTAL = f"""WITH store_emb AS (
+_SEM_INC_CTES = f"""store_emb AS (
   SELECT * FROM embeddings WHERE vec_id % {_SEM_NEW_MOD} < 8
 ),
 new_emb AS (
@@ -2755,14 +2755,65 @@ bsurv AS (
   SELECT * FROM ni_assign
   WHERE vec_id NOT IN (SELECT vec_id FROM scmp)
 ),
-{_sem_verdict_ctes("bsurv", "new_emb", "bt_")}
-SELECT n.vec_id, n.cent_id,
-       CAST(coalesce(c.n_store_dups, 0) AS BIGINT) AS n_store_dups,
-       coalesce(c.n_store_dups, 0) > 0 AS store_dup,
-       coalesce(b.keep, FALSE) AS keep
-FROM ni_assign n
-LEFT JOIN scmp c ON c.vec_id = n.vec_id
-LEFT JOIN bt_flags b ON b.vec_id = n.vec_id
+{_sem_verdict_ctes("bsurv", "new_emb", "bt_")},
+inc_verdicts AS (
+  SELECT n.vec_id, n.cent_id,
+         CAST(coalesce(c.n_store_dups, 0) AS BIGINT) AS n_store_dups,
+         coalesce(c.n_store_dups, 0) > 0 AS store_dup,
+         coalesce(b.keep, FALSE) AS keep
+  FROM ni_assign n
+  LEFT JOIN scmp c ON c.vec_id = n.vec_id
+  LEFT JOIN bt_flags b ON b.vec_id = n.vec_id
+)"""
+
+SQL_SEMANTIC_DEDUP_INCREMENTAL = f"""WITH {_SEM_INC_CTES}
+SELECT vec_id, cent_id, n_store_dups, store_dup, keep FROM inc_verdicts
+"""
+
+
+def q_semantic_dedup_incremental_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame | None = None,
+    verdicts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cluster rollup of the incremental verdicts — what a daily
+    merge signs off on: batch arrivals, store-duplicate drops,
+    within-batch drops, keeps, and the total drop rate in integer ppm
+    (the established half-up `(2a*10^6+b) div (2b)` pattern).
+    ``verdicts=`` rolls up a held per-vector relation (the marginal
+    form); ``centroids=`` shares just the quantizer."""
+    if verdicts is None:
+        verdicts = q_semantic_dedup_incremental(spark, sf_dir, centroids)
+    k = F.col("keep").cast("int")
+    s = F.col("store_dup").cast("int")
+    agg = verdicts.groupBy("cent_id").agg(
+        F.count("*").alias("n_new"),
+        F.sum(s).cast("bigint").alias("n_store_dup"),
+        F.sum((1 - k) * (1 - s)).cast("bigint").alias("n_batch_dropped"),
+        F.sum(k).cast("bigint").alias("n_kept"),
+    )
+    return agg.withColumn(
+        "drop_ppm",
+        F.expr(
+            "CAST((2 * (n_new - n_kept) * 1000000 + n_new)"
+            " div (2 * n_new) AS BIGINT)"
+        ),
+    )
+
+
+SQL_SEMANTIC_DEDUP_INCREMENTAL_STATS = f"""WITH {_SEM_INC_CTES}
+SELECT cent_id,
+       count(*) AS n_new,
+       CAST(sum(CASE WHEN store_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_store_dup,
+       CAST(sum(CASE WHEN NOT keep AND NOT store_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch_dropped,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST((2 * (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END)) * 1000000
+             + count(*)) // (2 * count(*)) AS BIGINT) AS drop_ppm
+FROM inc_verdicts
+GROUP BY cent_id
 """
 
 
@@ -2854,5 +2905,9 @@ QUERIES: dict[str, tuple] = {
     "semantic_dedup_incremental": (
         q_semantic_dedup_incremental,
         SQL_SEMANTIC_DEDUP_INCREMENTAL,
+    ),
+    "semantic_dedup_incremental_stats": (
+        q_semantic_dedup_incremental_stats,
+        SQL_SEMANTIC_DEDUP_INCREMENTAL_STATS,
     ),
 }

@@ -1,0 +1,245 @@
+"""Replicated-embeddings scaling evidence (round-5 verdict #4).
+
+The sf0.1 embeddings fixture is 2,000 x dim-64 — too small for the
+semantic/ANN caps to ever fire or for the "clusters bound the
+quadratic" claim to be measured rather than argued. This harness:
+
+1. BUILDS two replicated relations from the sf0.1 fixture (written once,
+   read by both legs):
+   - EMB (default 50x = 100,000 vectors): every base vector replicated
+     with a tiny per-replica perturbation (near-dup bundles, cos ~ 1 —
+     the worst case for a semantic dedup), PLUS a hot bundle of
+     ``HOT`` exact-ish copies of one vector so the _SEM_CLUSTER_CAP
+     skew backstop actually fires and is observable;
+   - KM (default 10x = 20,000 vectors): the k-means trainer input
+     (every-50th-id seeding gives 400 centroids — k grows with n, the
+     SemDeDup discipline).
+2. Runs, at two parallelism levels in fresh JVMs (same input, same
+   shuffle policy — the sandbox stand-in for the two-cluster-size
+   rule), the three embedding-family jobs:
+   - kmeans_train on KM (the trainer IS this leg's timed job);
+   - semantic_dedup over EMB with the HELD KM-trained quantizer (the
+     production shape: quantizer trained on a sample, applied to the
+     corpus — the centroids= knob exists for exactly this);
+   - embedding_near_dup_lsh over EMB.
+3. Reports T_N / T_4N / efficiency per job plus the cap-fire counts
+   (clusters over _SEM_CLUSTER_CAP and their member total; LSH buckets
+   over _EMB_BUCKET_CAP) to BENCH_SCALING.md.
+
+Usage:
+  python scripts/scaling_emb.py            # orchestrate (build + legs)
+  SCALE_N / SCALE_4N / SCALE_ORDER / EMB_REP / KM_REP / HOT env knobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = os.environ.get("EMB_BASE_SF", "/root/testdata/sf0.1")
+EMB_REP = int(os.environ.get("EMB_REP", "50"))
+KM_REP = int(os.environ.get("KM_REP", "10"))
+HOT = int(os.environ.get("HOT", "8000"))
+N_CORES = os.environ.get("SCALE_N", "4")
+N4_CORES = os.environ.get("SCALE_4N", "16")
+
+
+def _replicate(spark, rep: int, hot: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    n_base = base.count()
+    ks = spark.range(rep).withColumnRenamed("id", "k")
+    # per-replica perturbation: +((k*7)%13)*1e-4 on dim (k%64) — keeps
+    # every bundle a genuine near-dup family (cos ~ 1) without exact ties
+    rep_df = base.crossJoin(ks).select(
+        (F.col("vec_id") + F.col("k") * n_base).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x
+                + F.when(
+                    i == (F.col("k") % 64).cast("int"),
+                    ((F.col("k") * 7) % 13).cast("float") * F.lit(1e-4),
+                ).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    parts = [rep_df]
+    if hot > 0:
+        hot_src = base.where(F.col("vec_id") == 1).select("embedding", "label")
+        hot_df = (
+            spark.range(hot)
+            .withColumnRenamed("id", "h")
+            .crossJoin(F.broadcast(hot_src))
+            .select(
+                (F.col("h") + F.lit(10_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+        parts.append(hot_df)
+    out_df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    out_df.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def _build(emb_dir: str, km_dir: str) -> None:
+    from ocr_dataset_builder_spark.session import get_spark
+
+    spark = get_spark("emb-scale-build", cores=8, shuffle_partitions=16)
+    _replicate(spark, EMB_REP, HOT, emb_dir)
+    _replicate(spark, KM_REP, 0, km_dir)
+    spark.stop()
+
+
+def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ocr_dataset_builder_spark import queries_corpus as qc
+    from ocr_dataset_builder_spark.session import get_spark
+
+    spark = get_spark(
+        f"emb-scale-{cores}", cores=cores, shuffle_partitions=2 * cores
+    )
+    res: dict = {"cores": cores}
+
+    # leg 1: the k-means trainer itself (400 centroids over KM_REP x base)
+    t0 = time.monotonic()
+    e_km, cent = qc._trained_centroids(spark, km_dir)
+    n_assign = qc._assign_to(e_km, cent, 1).count()
+    res["kmeans_train_sec"] = round(time.monotonic() - t0, 3)
+    res["kmeans_n"] = n_assign
+    cent = cent.persist()
+    cent.count()
+
+    # leg 2: semantic dedup over EMB with the HELD sample-trained
+    # quantizer (k grows with n: 400 clusters for 100k vectors)
+    t0 = time.monotonic()
+    sem = qc.q_semantic_dedup(spark, emb_dir, centroids=cent).persist()
+    res["semantic_rows"] = sem.count()
+    res["semantic_dedup_sec"] = round(time.monotonic() - t0, 3)
+
+    # cap evidence from the stats rollup over the HELD flags (the
+    # flags= marginal — no second quadratic pass)
+    stats = qc.q_semantic_dedup_stats(spark, emb_dir, flags=sem)
+    capped = stats.where(F.col("n_members") > qc._SEM_CLUSTER_CAP).agg(
+        F.count("*").alias("c"), F.sum("n_members").alias("m")
+    ).collect()[0]
+    res["sem_capped_clusters"] = capped["c"]
+    res["sem_capped_members"] = int(capped["m"] or 0)
+    dropped = stats.agg(F.sum("n_dropped")).collect()[0][0]
+    res["sem_dropped"] = int(dropped or 0)
+
+    # leg 3: LSH near-dup over EMB (+ bucket-cap fire count)
+    t0 = time.monotonic()
+    res["lsh_pairs"] = qc.q_embedding_near_dup_lsh(spark, emb_dir).count()
+    res["lsh_sec"] = round(time.monotonic() - t0, 3)
+    b = qc.q_ann_lsh_bucket(spark, emb_dir)
+    res["lsh_capped_buckets"] = (
+        b.groupBy("bucket")
+        .count()
+        .where(F.col("count") > qc._EMB_BUCKET_CAP)
+        .count()
+    )
+    spark.stop()
+    print("LEGJSON " + json.dumps(res))
+
+
+def _run_leg(cores: str, emb_dir: str, km_dir: str) -> dict:
+    env = dict(os.environ, SPARK_DRIVER_MEM=f"{max(8, 3 * int(cores))}g")
+    p = subprocess.run(
+        [sys.executable, __file__, "--leg", cores, emb_dir, km_dir],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=True,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("LEGJSON "):
+            return json.loads(line[len("LEGJSON "):])
+    raise RuntimeError(f"no LEGJSON in leg output:\n{p.stdout}\n{p.stderr}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        _leg(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="odb_embscale_")
+    emb_dir = os.path.join(work, "emb")
+    km_dir = os.path.join(work, "km")
+    _build(emb_dir, km_dir)
+
+    order = os.environ.get("SCALE_ORDER", "4n_first")
+    if order == "4n_first":
+        r4n = _run_leg(N4_CORES, emb_dir, km_dir)
+        rn = _run_leg(N_CORES, emb_dir, km_dir)
+    else:
+        rn = _run_leg(N_CORES, emb_dir, km_dir)
+        r4n = _run_leg(N4_CORES, emb_dir, km_dir)
+
+    def eff(key: str) -> float:
+        return round((rn[key] / r4n[key]) / 4, 3)
+
+    block = f"""
+## Embeddings scaling run {datetime.now(timezone.utc).isoformat(timespec="seconds")}
+
+Replicated fixture: {EMB_REP}x sf0.1 = {rn["semantic_rows"]} vectors
+(dim 64, near-dup bundles + one {HOT}-copy hot bundle); trainer input
+{KM_REP}x = {rn["kmeans_n"]} vectors (every-50th seeding -> k grows
+with n). Quantizer HELD across the semantic legs (centroids= knob —
+one trainer job, the production shape).
+
+| job | T_N (local[{N_CORES}]) | T_4N (local[{N4_CORES}]) | efficiency |
+|---|---|---|---|
+| kmeans_train ({rn["kmeans_n"]} vecs) | {rn["kmeans_train_sec"]} | {r4n["kmeans_train_sec"]} | {eff("kmeans_train_sec")} |
+| semantic_dedup ({rn["semantic_rows"]} vecs) | {rn["semantic_dedup_sec"]} | {r4n["semantic_dedup_sec"]} | {eff("semantic_dedup_sec")} |
+| embedding_near_dup_lsh | {rn["lsh_sec"]} | {r4n["lsh_sec"]} | {eff("lsh_sec")} |
+
+Cap evidence (the bounds are MEASURED firing, not argued):
+- _SEM_CLUSTER_CAP: {r4n["sem_capped_clusters"]} cluster(s) over cap
+  covering {r4n["sem_capped_members"]} vectors skipped the quadratic by
+  design (the hot bundle); {r4n["sem_dropped"]} vectors dropped as
+  semantic dups overall.
+- _EMB_BUCKET_CAP: {r4n["lsh_capped_buckets"]} LSH bucket(s) over cap
+  dropped from the pair expansion; {r4n["lsh_pairs"]} verified pairs.
+Leg order: {order}.
+"""
+    path = os.path.join(REPO, "BENCH_SCALING.md")
+    with open(path, "a") as f:
+        f.write(block)
+    print(
+        json.dumps(
+            {
+                "kmeans_eff": eff("kmeans_train_sec"),
+                "semantic_eff": eff("semantic_dedup_sec"),
+                "lsh_eff": eff("lsh_sec"),
+                "t4n": {
+                    k: r4n[k]
+                    for k in (
+                        "kmeans_train_sec",
+                        "semantic_dedup_sec",
+                        "lsh_sec",
+                    )
+                },
+            }
+        )
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -271,3 +271,28 @@ def test_flags_knob_marginal_equals_pure(spark, sf_dir):
         assert pure == held
     finally:
         flags.unpersist()
+
+
+def test_incremental_stats_verdicts_knob_matches_pure(spark, sf_dir):
+    """incremental stats over a held per-vector verdict relation ==
+    the pure form (which re-derives the verdicts in-plan)."""
+    verdicts = qc.q_semantic_dedup_incremental(spark, sf_dir).persist()
+    verdicts.count()
+    try:
+        pure = sorted(
+            map(
+                tuple,
+                qc.q_semantic_dedup_incremental_stats(spark, sf_dir).collect(),
+            )
+        )
+        held = sorted(
+            map(
+                tuple,
+                qc.q_semantic_dedup_incremental_stats(
+                    spark, sf_dir, verdicts=verdicts
+                ).collect(),
+            )
+        )
+        assert pure == held
+    finally:
+        verdicts.unpersist()
