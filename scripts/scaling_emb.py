@@ -43,8 +43,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE_SF = os.environ.get("EMB_BASE_SF", "/root/testdata/sf0.1")
+# KM_REP must keep the every-50th-id seeds on DISTINCT base vectors
+# under interleaved ids (rep in {10, 20, 25, 50}); 20 sizes a Lloyd
+# pass at ~32M folds — large enough that per-job fixed costs (driver
+# planning, broadcast collect, localCheckpoint) stop dominating the
+# measurement (at KM_REP=10 a pass is ~9 s of compute vs ~30 s of
+# floor and the efficiency number measures the floor, not the engine)
 EMB_REP = int(os.environ.get("EMB_REP", "50"))
-KM_REP = int(os.environ.get("KM_REP", "10"))
+KM_REP = int(os.environ.get("KM_REP", "20"))
 HOT = int(os.environ.get("HOT", "8000"))
 N_CORES = os.environ.get("SCALE_N", "4")
 N4_CORES = os.environ.get("SCALE_4N", "16")
@@ -54,12 +60,19 @@ def _replicate(spark, rep: int, hot: int, out: str) -> None:
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
-    n_base = base.count()
     ks = spark.range(rep).withColumnRenamed("id", "k")
     # per-replica perturbation: +((k*7)%13)*1e-4 on dim (k%64) — keeps
-    # every bundle a genuine near-dup family (cos ~ 1) without exact ties
+    # every bundle a genuine near-dup family (cos ~ 1) without exact ties.
+    # ids are INTERLEAVED (base*rep + k), not blocked (base + k*n_base):
+    # the trainer seeds on vec_id % 50 == 0, and blocked ids make every
+    # seed a replica of the same ~40 base vectors — Lloyd then collapses
+    # 400 seeds onto ~40 effective centroids, clusters grow ~10x, and
+    # the bounded quadratic blows up ~50x on only ~40 join keys
+    # (measured: the first run of this harness sat at 3 of 16 cores for
+    # 40+ min). Interleaving makes the same seeding rule pick distinct,
+    # unperturbed (k=0) base vectors whenever rep divides 50.
     rep_df = base.crossJoin(ks).select(
-        (F.col("vec_id") + F.col("k") * n_base).alias("vec_id"),
+        (F.col("vec_id") * rep + F.col("k")).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: (
@@ -87,7 +100,12 @@ def _replicate(spark, rep: int, hot: int, out: str) -> None:
         )
         parts.append(hot_df)
     out_df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    out_df.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    # 64 files: parquet splits only at row-group boundaries, so the
+    # legs' low maxPartitionBytes needs multiple files to fan the scan
+    # out (one fat file = one effective task regardless of the knob)
+    out_df.repartition(64).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
 
 
 def _build(emb_dir: str, km_dir: str) -> None:
@@ -107,8 +125,21 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
     from ocr_dataset_builder_spark import queries_corpus as qc
     from ocr_dataset_builder_spark.session import get_spark
 
+    # The replicated fixture is CPU-dense but byte-tiny (~6-13 MB): at
+    # the default maxPartitionBytes=128M the whole scan is ONE input
+    # partition and every in-row fold runs on one core no matter how
+    # many the leg has (measured: first smoke run gave T_N ~= T_4N,
+    # efficiency ~0.25 on every job). Identical values on both legs —
+    # same task counts, only core counts differ. At real scale the
+    # input has enough blocks and this knob is moot.
     spark = get_spark(
-        f"emb-scale-{cores}", cores=cores, shuffle_partitions=2 * cores
+        f"emb-scale-{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
     )
     res: dict = {"cores": cores}
 
@@ -174,12 +205,22 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--leg":
         _leg(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--build":
+        _build(sys.argv[2], sys.argv[3])
+        return
     import tempfile
 
     work = tempfile.mkdtemp(prefix="odb_embscale_")
     emb_dir = os.path.join(work, "emb")
     km_dir = os.path.join(work, "km")
-    _build(emb_dir, km_dir)
+    # build in a subprocess: a stopped SparkSession's JVM lingers until
+    # its python process exits, and an idle 8g JVM must not sit over
+    # the timed legs
+    subprocess.run(
+        [sys.executable, __file__, "--build", emb_dir, km_dir],
+        timeout=1800,
+        check=True,
+    )
 
     order = os.environ.get("SCALE_ORDER", "4n_first")
     if order == "4n_first":
