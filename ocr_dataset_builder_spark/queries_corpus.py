@@ -2335,7 +2335,23 @@ def _semantic_flags(
 
 def _semantic_flags_from(assign: DataFrame, e: DataFrame) -> DataFrame:
     """The SemDeDup verdict over a given 1-NN assignment (shared by the
-    standalone query and the q_semantic_prep composition)."""
+    standalone query and the q_semantic_prep composition).
+
+    Shape (round 6): the within-cluster quadratic is ONE in-row fold per
+    vector over its cluster's collected member list — not a pair join.
+    The previous a.join(b, "cent_id") + groupBy(vec_id) form materialized
+    the full pair stream through two shuffles, and AQE sized the probe
+    side by its INPUT bytes, blind to the C(n,2) expansion: at 108k
+    replicated vectors the whole quadratic ran on 1-3 tasks (measured by
+    scripts/scaling_emb.py; stack-sampled to the cosine predicate). Here
+    the expansion happens inside a projection, parallelism follows the
+    member-list join (cent_id keys >> cores, skew bounded by
+    _SEM_CLUSTER_CAP), per-vector aggregates (count / max / exists) are
+    order-independent so collect_list nondeterminism cannot leak, and
+    each member's squared norm is computed once per cluster instead of
+    once per pair (the old form paid three folds per pair, this pays
+    one). Values are bit-identical: same sequential double folds, same
+    round(.,4), same tie-break."""
     ev = assign.join(e, "vec_id")
     csize = ev.groupBy("cent_id").agg(F.count("*").alias("cn"))
     small = ev.join(
@@ -2343,34 +2359,69 @@ def _semantic_flags_from(assign: DataFrame, e: DataFrame) -> DataFrame:
             csize.where(F.col("cn") <= _SEM_CLUSTER_CAP).select("cent_id")
         ),
         "cent_id",
+    ).withColumn("n2", _n2_double(F.col("v")))
+    members = small.groupBy("cent_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("vec_id").alias("b_id"),
+                F.col("d2").alias("b_d2"),
+                F.col("v").alias("bv"),
+                F.col("n2").alias("b_n2"),
+            )
+        ).alias("ms")
     )
-    a = small.select("cent_id", "vec_id", "d2", "v")
-    b = small.select(
-        "cent_id",
-        F.col("vec_id").alias("b_id"),
-        F.col("d2").alias("b_d2"),
-        F.col("v").alias("bv"),
+
+    def member_cos(m: F.Column) -> F.Column:
+        return F.round(
+            _fold_double(F.zip_with(F.col("v"), m["bv"], lambda x, y: x * y))
+            / F.sqrt(F.col("n2") * m["b_n2"]),
+            4,
+        )
+
+    # one pass: map each member to (cos, b_d2, b_id) — cos evaluated
+    # exactly once — filter to dup neighbors, then fold count/max/any
+    # over cheap scalars (referencing the mapped array once keeps the
+    # interpreted HOF from being re-evaluated per output column)
+    dups = F.filter(
+        F.transform(
+            F.col("ms"),
+            lambda m: F.struct(
+                member_cos(m).alias("cos"),
+                m["b_d2"].alias("b_d2"),
+                m["b_id"].alias("b_id"),
+            ),
+        ),
+        lambda c: (c["b_id"] != F.col("vec_id"))
+        & (c["cos"] >= F.lit(_SEM_DUP_MIN)),
     )
-    cos = F.round(
-        _fold_double(F.zip_with("v", "bv", lambda x, y: x * y))
-        / F.sqrt(_n2_double(F.col("v")) * _n2_double(F.col("bv"))),
-        4,
+    agg = F.aggregate(
+        dups,
+        F.struct(
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("mx"),
+            F.lit(False).alias("dom"),
+        ),
+        lambda acc, c: F.struct(
+            (acc["n"] + F.lit(1).cast("bigint")).alias("n"),
+            F.greatest(acc["mx"], c["cos"]).alias("mx"),
+            (
+                acc["dom"]
+                | (c["b_d2"] > F.col("d2"))
+                | ((c["b_d2"] == F.col("d2")) & (c["b_id"] > F.col("vec_id")))
+            ).alias("dom"),
+        ),
     )
-    dup = (
-        a.join(b, "cent_id")
-        .where(F.col("vec_id") != F.col("b_id"))
-        .select("vec_id", "d2", "b_id", "b_d2", cos.alias("cos"))
-        .where(F.col("cos") >= _SEM_DUP_MIN)
+    flags = (
+        small.join(members, "cent_id")
+        .withColumn("sem", agg)
+        .select(
+            "vec_id",
+            F.col("sem.n").alias("n_dup_neighbors"),
+            F.col("sem.mx").alias("max_cos"),
+            F.col("sem.dom").alias("dominated"),
+        )
     )
-    dominated = (F.col("b_d2") > F.col("d2")) | (
-        (F.col("b_d2") == F.col("d2")) & (F.col("b_id") > F.col("vec_id"))
-    )
-    agg = dup.groupBy("vec_id").agg(
-        F.count("*").alias("n_dup_neighbors"),
-        F.max("cos").alias("max_cos"),
-        (F.max(F.when(dominated, 1).otherwise(0)) == 1).alias("dominated"),
-    )
-    return assign.join(agg, "vec_id", "left").select(
+    return assign.join(flags, "vec_id", "left").select(
         "vec_id",
         "cent_id",
         F.coalesce("n_dup_neighbors", F.lit(0)).alias("n_dup_neighbors"),
