@@ -2711,18 +2711,43 @@ def semantic_incremental_verdicts(
         ),
         "cent_id",
     )
-    nv = n_assign.select("vec_id", "cent_id").join(new, "vec_id")
-    cos = F.round(
-        _fold_double(F.zip_with("v", "kv", lambda x, y: x * y))
-        / F.sqrt(_n2_double(F.col("v")) * _n2_double(F.col("kv"))),
-        4,
+    nv = (
+        n_assign.select("vec_id", "cent_id")
+        .join(new, "vec_id")
+        .withColumn("n2", _n2_double(F.col("v")))
+    )
+    # store compare as ONE in-row pass per new vector over its cluster's
+    # collected kept list (same round-6 shape as _semantic_flags_from:
+    # no pair stream for AQE to mis-size, kept norms computed once per
+    # stored vector instead of once per pair, count is order-independent
+    # so collect_list nondeterminism cannot leak)
+    k_members = (
+        small_k.withColumn("kn2", _n2_double(F.col("v")))
+        .groupBy("cent_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("v").alias("kv"), F.col("kn2").alias("k_n2"))
+            ).alias("ks")
+        )
+    )
+    n_store = F.size(
+        F.filter(
+            F.col("ks"),
+            lambda m: F.round(
+                _fold_double(
+                    F.zip_with(F.col("v"), m["kv"], lambda x, y: x * y)
+                )
+                / F.sqrt(F.col("n2") * m["k_n2"]),
+                4,
+            )
+            >= F.lit(_SEM_DUP_MIN),
+        )
     )
     cmp = (
-        nv.join(small_k.select("cent_id", F.col("v").alias("kv")), "cent_id")
-        .select("vec_id", cos.alias("cos"))
-        .where(F.col("cos") >= _SEM_DUP_MIN)
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("n_store_dups"))
+        nv.join(k_members, "cent_id")
+        .withColumn("nsd", n_store)
+        .where(F.col("nsd") > 0)
+        .select("vec_id", F.col("nsd").cast("bigint").alias("n_store_dups"))
     )
     surv = n_assign.join(cmp, "vec_id", "left_anti")
     b_flags = _semantic_flags_from(surv, new).select(
