@@ -149,6 +149,7 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
     n_assign = qc._assign_to(e_km, cent, 1).count()
     res["kmeans_train_sec"] = round(time.monotonic() - t0, 3)
     res["kmeans_n"] = n_assign
+    print(f"JOB kmeans_train {res['kmeans_train_sec']}s", file=sys.stderr, flush=True)
     cent = cent.persist()
     cent.count()
 
@@ -158,6 +159,7 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
     sem = qc.q_semantic_dedup(spark, emb_dir, centroids=cent).persist()
     res["semantic_rows"] = sem.count()
     res["semantic_dedup_sec"] = round(time.monotonic() - t0, 3)
+    print(f"JOB semantic_dedup {res['semantic_dedup_sec']}s", file=sys.stderr, flush=True)
 
     # cap evidence from the stats rollup over the HELD flags (the
     # flags= marginal — no second quadratic pass)
@@ -169,11 +171,13 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
     res["sem_capped_members"] = int(capped["m"] or 0)
     dropped = stats.agg(F.sum("n_dropped")).collect()[0][0]
     res["sem_dropped"] = int(dropped or 0)
+    print("JOB sem_stats done", file=sys.stderr, flush=True)
 
     # leg 3: LSH near-dup over EMB (+ bucket-cap fire count)
     t0 = time.monotonic()
     res["lsh_pairs"] = qc.q_embedding_near_dup_lsh(spark, emb_dir).count()
     res["lsh_sec"] = round(time.monotonic() - t0, 3)
+    print(f"JOB lsh {res['lsh_sec']}s", file=sys.stderr, flush=True)
     b = qc.q_ann_lsh_bucket(spark, emb_dir)
     res["lsh_capped_buckets"] = (
         b.groupBy("bucket")
@@ -186,7 +190,15 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
 
 
 def _run_leg(cores: str, emb_dir: str, km_dir: str) -> dict:
-    env = dict(os.environ, SPARK_DRIVER_MEM=f"{max(8, 3 * int(cores))}g")
+    # IDENTICAL heap on both legs: scaling it with cores (the rep600
+    # harness's 3 GiB/core rule) both starves the small leg (the 4-core
+    # leg OOMed at 12g on the LSH pair expansion the 48g leg absorbed)
+    # and confounds the ratio — T_N/T_4N should measure cores, not
+    # memory. The input is the same on both legs; so is the heap.
+    env = dict(
+        os.environ,
+        SPARK_DRIVER_MEM=os.environ.get("SCALE_HEAP", "48g"),
+    )
     p = subprocess.run(
         [sys.executable, __file__, "--leg", cores, emb_dir, km_dir],
         env=env,
