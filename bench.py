@@ -262,9 +262,12 @@ def main() -> None:
     # the rollup's honest MARGINAL cost: a pipeline holds the per-doc
     # report it just signed off on (persisted + materialized outside the
     # timed region) and pays only the source join + partial agg.
-    # Recorded under its own key — the historical `substr_dup_rate`
-    # key keeps timing the PURE form so cross-round BENCH_r* files
-    # stay comparable (ADVICE r5).
+    # KEY-SEMANTICS NOTE (ADVICE r6): through BENCH_r05 the
+    # `substr_dup_rate` key timed the MARGINAL form (per_doc= held);
+    # from BENCH_r06 on it times the PURE form and the marginal lives
+    # under `substr_dup_rate_marginal`. Do not compare r<=5
+    # substr_dup_rate values against r6+ ones — compare r<=5
+    # substr_dup_rate to r6+ substr_dup_rate_marginal instead.
     timed("substr_dup_rate", qsub.q_substr_dup_rate(spark, SF_DIR))
     per_doc = qsub.q_dedup_substrings(spark, SF_DIR).persist()
     per_doc.count()

@@ -1897,6 +1897,10 @@ def _assign_to_arrow(e: DataFrame, cent: DataFrame, rank_max: int) -> DataFrame:
 
         for batch in it:
             vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(vid) == 0:
+                # a 0-row RecordBatch would make reshape(0, -1) raise
+                # (cannot infer -1 from size 0) — skip it (ADVICE r6)
+                continue
             # list<double> of uniform dim, no nulls (contract): flatten
             # is a zero-copy view of the values buffer
             X = (
@@ -1906,7 +1910,14 @@ def _assign_to_arrow(e: DataFrame, cent: DataFrame, rank_max: int) -> DataFrame:
                 .astype(np.float64, copy=False)
                 .reshape(len(vid), -1)
             )
-            d2 = (X * X).sum(axis=1)[:, None] + cn2[None, :] - 2.0 * (X @ C.T)
+            # ||x||^2+||c||^2-2x.C can cancel slightly negative for
+            # exact duplicates; the fold's sum-of-squares never does —
+            # clamp so consumers (sqrt, cross-backend diffs) stay in
+            # domain. Ranking/ties unaffected. (ADVICE r6)
+            d2 = np.maximum(
+                (X * X).sum(axis=1)[:, None] + cn2[None, :] - 2.0 * (X @ C.T),
+                0.0,
+            )
             if r == 1:
                 j = d2.argmin(axis=1)[:, None]  # first occurrence = id asc
             else:

@@ -105,6 +105,22 @@ def _semantic_batch_processor(
             return
         spark = batch_df.sparkSession
         batch_run = f"{run_id}-b{batch_id}"
+        # Replay guard FIRST (ADVICE r6): a manual re-invocation of an
+        # already-committed batch after LATER batches landed would
+        # recompute against a store that now contains those later
+        # deltas and OVERWRITE the committed verdicts with different
+        # values. Exclude-own-delta byte-identity only holds for the
+        # in-order availableNow replay; an out-of-order replay must
+        # short-circuit before any write, not rely on it.
+        already_committed = (
+            read_checkpoint(spark, output_dir)
+            .where(F.col("run_id") == batch_run)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if already_committed:
+            return
         new = batch_df.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )

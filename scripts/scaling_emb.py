@@ -243,7 +243,11 @@ def main() -> None:
         r4n = _run_leg(N4_CORES, emb_dir, km_dir)
 
     def eff(key: str) -> float:
-        return round((rn[key] / r4n[key]) / 4, 3)
+        # ratio from the ACTUAL core counts, not a hardcoded 4 — a
+        # non-4x pair (SCALE_N/SCALE_4N env knobs) would otherwise
+        # write a wrong efficiency column (ADVICE r6)
+        core_ratio = int(N4_CORES) / int(N_CORES)
+        return round((rn[key] / r4n[key]) / core_ratio, 3)
 
     block = f"""
 ## Embeddings scaling run {datetime.now(timezone.utc).isoformat(timespec="seconds")}

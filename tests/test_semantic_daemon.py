@@ -126,8 +126,24 @@ def test_semantic_daemon_incremental_and_replay(spark):
         proc = _semantic_batch_processor(
             out_dir, store_dir, cent_dir, prefix, counter
         )
+        # the committed-batch guard must short-circuit BEFORE any write
+        # (ADVICE r6: an out-of-order replay of b0 after b1's keeps
+        # landed would otherwise recompute against b1's store delta and
+        # overwrite b0's committed verdicts) — pin zero file churn in
+        # the staged verdict dirs, not just value idempotence
+        def _mtimes():
+            out = {}
+            for b in (0, 1):
+                d = os.path.join(out_dir, "verdicts", f"run_id={prefix}-b{b}")
+                for f in os.listdir(d):
+                    p = os.path.join(d, f)
+                    out[p] = os.path.getmtime(p)
+            return out
+
+        mt_before = _mtimes()
         proc(spark.createDataFrame(_DAY1, EMB_SCHEMA), 0)
         proc(spark.createDataFrame(_DAY2, EMB_SCHEMA), 1)
+        assert _mtimes() == mt_before
         after = sorted(
             map(tuple, read_verdicts(spark, out_dir).drop("run_id").collect())
         )
