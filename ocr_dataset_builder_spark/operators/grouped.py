@@ -63,3 +63,54 @@ def iter_groups(block: pd.DataFrame, part_cols: list[str]):
         if i == len(keys) or keys[i] != keys[start]:
             yield start, i
             start = i
+
+
+def grouped_map_in_arrow(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    block_fn,
+    out_schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-native sibling of ``grouped_map_in_pandas`` for numeric-key
+    kernels (GEMM over per-cluster / per-bucket vector blocks).
+
+    Repartitions on ``key_col`` (explicit ``num_partitions`` — an
+    explicit count is respected by AQE, which would otherwise coalesce a
+    small-bytes relation to ONE partition and run the heavy per-group
+    compute single-threaded, the _fan_out lesson), sorts within
+    partitions by (key, order_cols), then one ``mapInArrow`` pass that
+    cuts at key boundaries, carrying a split trailing group into the
+    next batch. ``block_fn`` receives a ``pyarrow.Table`` holding one or
+    more COMPLETE groups and yields ``pyarrow.RecordBatch`` objects
+    matching ``out_schema``."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    sel = df.repartition(num_partitions, key_col).sortWithinPartitions(
+        key_col, *order_cols
+    )
+
+    def _run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        carry = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+                carry = None
+            if tbl.num_rows == 0:
+                continue
+            keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+            # rows of the last key may continue in the next batch
+            neq = np.flatnonzero(keys != keys[-1])
+            cut = int(neq[-1]) + 1 if len(neq) else 0
+            carry = tbl.slice(cut)
+            if cut:
+                yield from block_fn(tbl.slice(0, cut))
+        if carry is not None and carry.num_rows:
+            yield from block_fn(carry)
+
+    return sel.mapInArrow(_run, schema=out_schema)

@@ -54,6 +54,12 @@ KM_REP = int(os.environ.get("KM_REP", "20"))
 HOT = int(os.environ.get("HOT", "8000"))
 N_CORES = os.environ.get("SCALE_N", "4")
 N4_CORES = os.environ.get("SCALE_4N", "16")
+# "fold" = the oracle-exact interpreted HOF kernels (the registered
+# queries); "arrow" = the GEMM production path (round 7) — same plans,
+# numpy kernels. The round-6 definitive run measured the fold at
+# 0.31-0.65 efficiency (LSH anti-scaling); the arrow legs answer whether
+# the kernel swap restores the >= 0.8 north-rule target.
+BACKEND = os.environ.get("SCALE_BACKEND", "fold")
 
 
 def _replicate(spark, rep: int, hot: int, out: str) -> None:
@@ -141,12 +147,12 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
             "spark.sql.files.openCostInBytes": str(64 * 1024),
         },
     )
-    res: dict = {"cores": cores}
+    res: dict = {"cores": cores, "backend": BACKEND}
 
     # leg 1: the k-means trainer itself (400 centroids over KM_REP x base)
     t0 = time.monotonic()
-    e_km, cent = qc._trained_centroids(spark, km_dir)
-    n_assign = qc._assign_to(e_km, cent, 1).count()
+    e_km, cent = qc._trained_centroids(spark, km_dir, backend=BACKEND)
+    n_assign = qc._assign_to(e_km, cent, 1, backend=BACKEND).count()
     res["kmeans_train_sec"] = round(time.monotonic() - t0, 3)
     res["kmeans_n"] = n_assign
     print(f"JOB kmeans_train {res['kmeans_train_sec']}s", file=sys.stderr, flush=True)
@@ -156,7 +162,9 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
     # leg 2: semantic dedup over EMB with the HELD sample-trained
     # quantizer (k grows with n: 400 clusters for 100k vectors)
     t0 = time.monotonic()
-    sem = qc.q_semantic_dedup(spark, emb_dir, centroids=cent).persist()
+    sem = qc.q_semantic_dedup(
+        spark, emb_dir, centroids=cent, backend=BACKEND
+    ).persist()
     res["semantic_rows"] = sem.count()
     res["semantic_dedup_sec"] = round(time.monotonic() - t0, 3)
     print(f"JOB semantic_dedup {res['semantic_dedup_sec']}s", file=sys.stderr, flush=True)
@@ -175,9 +183,48 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
 
     # leg 3: LSH near-dup over EMB (+ bucket-cap fire count)
     t0 = time.monotonic()
-    res["lsh_pairs"] = qc.q_embedding_near_dup_lsh(spark, emb_dir).count()
+    res["lsh_pairs"] = qc.q_embedding_near_dup_lsh(
+        spark, emb_dir, backend=BACKEND
+    ).count()
     res["lsh_sec"] = round(time.monotonic() - t0, 3)
     print(f"JOB lsh {res['lsh_sec']}s", file=sys.stderr, flush=True)
+
+    # leg 4: the daily-crawl ARRIVAL cost (round-6 verdict #4): both
+    # store artifacts HELD (quantizer + stored-kept set — sem already
+    # holds the per-vector verdicts), the timed job is assignment of a
+    # 20% batch + store compare + within-batch dedup.
+    kept_store = (
+        sem.where(F.col("keep"))
+        .select("vec_id", "cent_id")
+        .join(
+            spark.read.parquet(f"{emb_dir}/embeddings.parquet").select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            "vec_id",
+        )
+        .where(F.col("vec_id") % qc._SEM_NEW_MOD < 8)
+        .persist()
+    )
+    kept_store.count()
+    new_batch = (
+        spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .where(F.col("vec_id") % qc._SEM_NEW_MOD >= 8)
+    )
+    t0 = time.monotonic()
+    res["incr_rows"] = qc.semantic_incremental_verdicts(
+        new_batch, kept_store, cent, backend=BACKEND
+    ).count()
+    res["incremental_arrival_sec"] = round(time.monotonic() - t0, 3)
+    print(
+        f"JOB incremental_arrival {res['incremental_arrival_sec']}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    kept_store.unpersist()
     b = qc.q_ann_lsh_bucket(spark, emb_dir)
     res["lsh_capped_buckets"] = (
         b.groupBy("bucket")
@@ -250,19 +297,20 @@ def main() -> None:
         return round((rn[key] / r4n[key]) / core_ratio, 3)
 
     block = f"""
-## Embeddings scaling run {datetime.now(timezone.utc).isoformat(timespec="seconds")}
+## Embeddings scaling run {datetime.now(timezone.utc).isoformat(timespec="seconds")} (backend={BACKEND})
 
 Replicated fixture: {EMB_REP}x sf0.1 = {rn["semantic_rows"]} vectors
 (dim 64, near-dup bundles + one {HOT}-copy hot bundle); trainer input
 {KM_REP}x = {rn["kmeans_n"]} vectors (every-50th seeding -> k grows
 with n). Quantizer HELD across the semantic legs (centroids= knob —
-one trainer job, the production shape).
+one trainer job, the production shape). Kernel backend: **{BACKEND}**.
 
 | job | T_N (local[{N_CORES}]) | T_4N (local[{N4_CORES}]) | efficiency |
 |---|---|---|---|
 | kmeans_train ({rn["kmeans_n"]} vecs) | {rn["kmeans_train_sec"]} | {r4n["kmeans_train_sec"]} | {eff("kmeans_train_sec")} |
 | semantic_dedup ({rn["semantic_rows"]} vecs) | {rn["semantic_dedup_sec"]} | {r4n["semantic_dedup_sec"]} | {eff("semantic_dedup_sec")} |
 | embedding_near_dup_lsh | {rn["lsh_sec"]} | {r4n["lsh_sec"]} | {eff("lsh_sec")} |
+| incremental_arrival ({rn.get("incr_rows", "?")} new vecs, store artifacts held) | {rn.get("incremental_arrival_sec", "n/a")} | {r4n.get("incremental_arrival_sec", "n/a")} | {eff("incremental_arrival_sec") if "incremental_arrival_sec" in rn else "n/a"} |
 
 Cap evidence (the bounds are MEASURED firing, not argued):
 - _SEM_CLUSTER_CAP: {r4n["sem_capped_clusters"]} cluster(s) over cap
@@ -279,15 +327,18 @@ Leg order: {order}.
     print(
         json.dumps(
             {
+                "backend": BACKEND,
                 "kmeans_eff": eff("kmeans_train_sec"),
                 "semantic_eff": eff("semantic_dedup_sec"),
                 "lsh_eff": eff("lsh_sec"),
+                "incremental_eff": eff("incremental_arrival_sec"),
                 "t4n": {
                     k: r4n[k]
                     for k in (
                         "kmeans_train_sec",
                         "semantic_dedup_sec",
                         "lsh_sec",
+                        "incremental_arrival_sec",
                     )
                 },
             }
