@@ -27,36 +27,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # is the oldest, (3) the recently-re-verified rest. A semantics-changing
 # edit can then never coast on a stale green row.
 _PRIORITY = [
-    # -- tier 1: round-6 code changes ------------------------------------
-    # brand new this round (zero driver rows)
-    "corpus_prep_final", "semantic_dedup_incremental",
-    "semantic_dedup_incremental_stats",
-    # oracle/arithmetic fixed after their r5 row (NULL-safe best-of
-    # oracle; integer mixture arithmetic both engines)
-    "dedup_best_of_cluster", "mixture_epochs", "mixture_expand",
-    # trainer-sharing knob refactor touched these plans' construction
-    "semantic_dedup", "semantic_dedup_stats",
-    "cluster_prototypes", "semantic_prep",
-    # -- tier 2: latest driver row is r2 (oldest evidence; per the r5
-    # verdict the stale cohort heads the rotation this round)
-    "ngram_jaccard", "minhash_sig", "minhash_lsh", "minhash_lsh_stats",
-    "minhash_jaccard_verify", "dedup_exact", "dedup_corpus",
-    "near_dup_components", "token_stats", "length_percentiles",
-    "top_terms", "quality_score", "lang_id", "doc_fingerprint",
-    "ann_cosine_topk", "ann_ivf_assign",
-    "sample_k", "slice_window", "batch_stats", "batch_assemble",
-    "dedup_encode", "fref_decode", "same_as_prev", "strict_join_ocr",
-    "ext_fallback_join", "positional_join", "summary_broadcast",
-    "aux_left_join", "resume_pending", "checkpoint_semi",
-    "batch_validation", "key_priority", "cleaning_pairs", "pass_counters",
-    "doc_cost", "cost_stats", "cost_tiered_models", "ocr_rollup",
-    "densify_frames", "allowlist_filter",
-    # -- tier 3: latest driver row is r3
-    "kmeans_step", "ann_recall", "ann_lsh_bucket", "embedding_near_dup_lsh",
+    # -- tier 1: round-7 code changes ------------------------------------
+    # backend= threading touched these queries' construction paths (the
+    # registered fold defaults are unchanged by intent, which is exactly
+    # what a driver row must re-prove): the semantic family, the
+    # incremental family (whose fold store-compare also moved into a
+    # branch), kmeans_train, the LSH verify, and the composed deliverable
+    "semantic_dedup_incremental", "semantic_dedup_incremental_stats",
+    "semantic_dedup", "semantic_dedup_stats", "cluster_prototypes",
+    "semantic_prep", "kmeans_train", "embedding_near_dup_lsh",
+    "corpus_prep_final",
+    # -- tier 2: oldest evidence first — augment_profiles' newest row is
+    # r1 (!), then the 13 untouched r3-stale queries
+    "augment_profiles",
+    "kmeans_step", "ann_recall", "ann_lsh_bucket",
     "events_json_props", "events_pivot", "events_funnel",
     "dedup_cross_source", "skew_stats", "fps_filter",
     "flagship_extract", "span_seq", "ocr_clean", "media_frames",
-    # -- tier 4: green in r4/r5 (the registry default order appends the rest)
+    # -- tier 3: latest driver row is r4 (43 queries; the 50-slot budget
+    # reaches ~26 of these after tiers 1-2 — the rest lead round 8)
+    "ann_ivf_probe", "ann_ivf_trained", "augment_assign", "bm25_score",
+    "boilerplate_phrases", "boilerplate_strip_stats", "corpus_prep",
+    "dataset_sample", "decontaminate", "decontaminate_join",
+    "distinct_sketch", "doc_chunking", "embedding_label_stats",
+    "events_asof_join", "events_hourly", "events_range_join",
+    "events_rollup", "events_sessions", "html_blocks",
+    "html_content_text", "html_main_text", "layout_reading_order",
+    "length_percentiles_agg", "media_sizes", "mixture_stats",
+    "multimodal_meta", "pack_blocks", "parse_image_batches", "pii_scrub",
+    "quality_filter", "quality_repetition", "refine_frames",
+    "refine_summary", "resize_checksum", "resize_dims", "simhash",
+    "simhash_near", "simhash_near_stats", "stratified_sample",
+    "substr_dup_spans", "tfidf_top_terms", "unigram_logprob",
+    # -- tier 4: green in r5/r6 (the registry default order appends the rest)
 ]
 
 

@@ -15,6 +15,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def grouped_map_in_pandas(
@@ -30,8 +31,26 @@ def grouped_map_in_pandas(
     (part_cols + order_cols) containing one or more *complete* groups and
     must return the output rows (matching ``out_schema``). It can detect
     group boundaries itself via the part_cols values.
+
+    Co-location hardening (round 7): the repartition keys on
+    ``pmod(hash(part_cols), 1<<30)`` rather than the raw columns. A
+    raw-column repartition is elided by Catalyst whenever the upstream
+    plan is already statically hash-partitioned on the same keys (e.g.
+    the caller just joined on them), and the surviving
+    ENSURE_REQUIREMENTS exchange can then be re-read with AQE LOCAL
+    (mapper-sliced) reads after a runtime broadcast-join conversion —
+    interleaving every key through every task and silently fragmenting
+    groups (measured on grouped_map_in_arrow's LSH path before its
+    applyInArrow rewrite; mapInPandas declares no required distribution,
+    so nothing downstream vetoes the rewrite). The hash expression never
+    matches an upstream partitioning, so this exchange always
+    materializes with user-repartition origin, which AQE neither
+    coalesces nor local-reads; co-location still holds because the
+    expression is a pure function of the group key.
     """
-    sel = df.repartition(*part_cols).sortWithinPartitions(*part_cols, *order_cols)
+    sel = df.repartition(
+        F.pmod(F.hash(*part_cols), F.lit(1 << 30))
+    ).sortWithinPartitions(*part_cols, *order_cols)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -76,41 +95,49 @@ def grouped_map_in_arrow(
     """Arrow-native sibling of ``grouped_map_in_pandas`` for numeric-key
     kernels (GEMM over per-cluster / per-bucket vector blocks).
 
-    Repartitions on ``key_col`` (explicit ``num_partitions`` — an
-    explicit count is respected by AQE, which would otherwise coalesce a
-    small-bytes relation to ONE partition and run the heavy per-group
-    compute single-threaded, the _fan_out lesson), sorts within
-    partitions by (key, order_cols), then one ``mapInArrow`` pass that
-    cuts at key boundaries, carrying a split trailing group into the
-    next batch. ``block_fn`` receives a ``pyarrow.Table`` holding one or
-    more COMPLETE groups and yields ``pyarrow.RecordBatch`` objects
-    matching ``out_schema``."""
+    Built on ``groupBy(key).applyInArrow`` — NOT on a manual
+    repartition + sortWithinPartitions + mapInArrow chain. The manual
+    chain is subtly unsound: ``mapInArrow`` declares no required
+    distribution, so when the upstream plan is already statically
+    hash-partitioned on ``key_col`` (e.g. the caller just joined on it)
+    Catalyst elides the explicit repartition as redundant, and AQE may
+    then convert that upstream join to a broadcast join at runtime and
+    re-read its pre-planned shuffle with LOCAL reads — mapper-sliced
+    partitions that interleave EVERY key through EVERY task. Measured on
+    the 20k-vector LSH fixture: 6 tasks each holding ~220 of 228
+    buckets, every bucket fragmented 6 ways, 18,225 of 108,153 true
+    pairs emitted, flipping per session with AQE's runtime join choice.
+    ``applyInArrow`` carries ClusteredDistribution(key) as a REQUIRED
+    child distribution, which the planner must satisfy and AQE cannot
+    break, so key co-location is guaranteed by contract.
+
+    The explicit ``num_partitions`` repartition ahead of the groupBy
+    keeps the heavy per-group compute fanned out (AQE would coalesce a
+    small-bytes relation to ~1 partition and run single-threaded, the
+    _fan_out lesson); when it is redundant the planner drops it and the
+    applyInArrow distribution requirement still holds.
+
+    ``block_fn`` receives a ``pyarrow.Table`` holding one or more
+    COMPLETE groups, sorted by (key_col, *order_cols), and yields
+    ``pyarrow.RecordBatch`` objects matching ``out_schema`` (here it is
+    called once per group)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    pa_schema = to_arrow_schema(_parse_datatype_string(out_schema))
+    sort_keys = [(key_col, "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+
+    def _one_group(tbl: "pa.Table") -> "pa.Table":
+        tbl = tbl.sort_by(sort_keys)
+        batches = list(block_fn(tbl))
+        if not batches:
+            return pa_schema.empty_table()
+        return pa.Table.from_batches(batches).cast(pa_schema)
+
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
-    sel = df.repartition(num_partitions, key_col).sortWithinPartitions(
-        key_col, *order_cols
-    )
-
-    def _run(batches):
-        import numpy as np
-        import pyarrow as pa
-
-        carry = None
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            if carry is not None:
-                tbl = pa.concat_tables([carry, tbl])
-                carry = None
-            if tbl.num_rows == 0:
-                continue
-            keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
-            # rows of the last key may continue in the next batch
-            neq = np.flatnonzero(keys != keys[-1])
-            cut = int(neq[-1]) + 1 if len(neq) else 0
-            carry = tbl.slice(cut)
-            if cut:
-                yield from block_fn(tbl.slice(0, cut))
-        if carry is not None and carry.num_rows:
-            yield from block_fn(carry)
-
-    return sel.mapInArrow(_run, schema=out_schema)
+    sel = df.repartition(num_partitions, key_col)
+    return sel.groupBy(key_col).applyInArrow(_one_group, schema=out_schema)

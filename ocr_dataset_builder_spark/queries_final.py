@@ -100,6 +100,7 @@ def _final_survivors(
     storage_level=None,
     centroids: DataFrame | None = None,
     materialize: bool = True,
+    backend: str = "fold",
 ) -> DataFrame:
     """Stages 1-4: (doc_id, source, n_kept, kept_text) — decontaminated,
     exact-canonical, substring-cleaned (text applied, emptied docs
@@ -154,7 +155,9 @@ def _final_survivors(
     # q_semantic_prep relation — one trainer job per pipeline, shareable
     # via centroids=), applied as a filter: a survivor with an embedding
     # must carry keep=true; a survivor without one passes
-    sem = q_semantic_prep(spark, sf_dir, centroids=centroids).select(
+    sem = q_semantic_prep(
+        spark, sf_dir, centroids=centroids, backend=backend
+    ).select(
         F.col("vec_id").alias("doc_id"), F.col("keep").alias("_sem_keep")
     )
     surv = _maybe_persist(
@@ -172,6 +175,7 @@ def q_corpus_prep_final(
     storage_level=None,
     centroids: DataFrame | None = None,
     materialize: bool = True,
+    backend: str = "fold",
 ) -> DataFrame:
     """The composed training-ready corpus (see module docstring).
 
@@ -184,8 +188,11 @@ def q_corpus_prep_final(
     for plan inspection. ``storage_level`` additionally persists the
     shingle relation; ``centroids=`` shares an already-trained k-means
     relation with the rest of the semantic family (one trainer job per
-    pipeline run)."""
-    surv = _final_survivors(spark, sf_dir, storage_level, centroids, materialize)
+    pipeline run); ``backend="arrow"`` routes stage 4's cosine kernels
+    (trainer, assignment, member fold) through the GEMM path."""
+    surv = _final_survivors(
+        spark, sf_dir, storage_level, centroids, materialize, backend
+    )
     # ---- stage 5: budget fill over POST-REMOVAL tokens ----------------
     qsc = q_quality_score(spark, sf_dir).select("doc_id", "quality")
     cand = (

@@ -1,0 +1,206 @@
+"""corpus_prep_final scaling evidence (round-6 verdict #4).
+
+The composed deliverable is the suite's costliest query and had only
+ever run at sf0.1 rep20; its three-localCheckpoint barrier structure is
+exactly what could behave differently at 30x rows. This harness:
+
+1. BUILDS a replicated corpus from sf0.1 (written once, read by both
+   legs): every document replicated DOC_REP times with a per-copy text
+   suffix (" #rN") so the exact-dedup stage does NOT collapse replicas
+   (identical texts would md5-collide and shrink the downstream chain
+   back to 1x — the scaling run must carry the volume THROUGH all seven
+   stages), interleaved doc_ids (base*rep + k, the scaling_emb lesson);
+   embeddings replicated the same way with the per-replica perturbation
+   so the semantic stage sees genuine near-dup clusters.
+2. Runs q_corpus_prep_final at two parallelism levels in fresh JVMs on
+   the same input (the sandbox stand-in for the two-cluster-size rule),
+   splitting each timing into time-to-barriers (DataFrame construction —
+   the three localCheckpoints for stages 1-4 run here) vs stream force
+   (stages 5-7 + the final text join), per the verdict's ask.
+3. Appends T_N / T_4N / efficiency (+ the barrier/stream split) to
+   BENCH_SCALING.md.
+
+Usage:
+  python scripts/scaling_final.py
+  SCALE_N / SCALE_4N / SCALE_ORDER / DOC_REP / SCALE_BACKEND env knobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = os.environ.get("FINAL_BASE_SF", "/root/testdata/sf0.1")
+DOC_REP = int(os.environ.get("DOC_REP", "30"))
+N_CORES = os.environ.get("SCALE_N", "8")
+N4_CORES = os.environ.get("SCALE_4N", "32")
+BACKEND = os.environ.get("SCALE_BACKEND", "fold")
+
+
+def _build(out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from ocr_dataset_builder_spark.session import get_spark
+
+    spark = get_spark("final-scale-build", cores=8, shuffle_partitions=16)
+    ks = spark.range(DOC_REP).withColumnRenamed("id", "k")
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    # suffix makes every replica's normalized text (and so its md5 fp)
+    # unique — the composed chain's exact-dedup stage must NOT collapse
+    # the replication, or stages 3-7 run at 1x and the "30x" run lies
+    rep_docs = docs.crossJoin(ks).select(
+        (F.col("doc_id") * DOC_REP + F.col("k")).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" #r"), F.col("k")).alias("text"),
+        *[
+            c
+            for c in docs.columns
+            if c not in ("doc_id", "source", "text")
+        ],
+    )
+    rep_docs.repartition(64).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    rep_emb = emb.crossJoin(ks).select(
+        (F.col("vec_id") * DOC_REP + F.col("k")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x
+                + F.when(
+                    i == (F.col("k") % 64).cast("int"),
+                    ((F.col("k") * 7) % 13).cast("float") * F.lit(1e-4),
+                ).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    rep_emb.repartition(64).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    spark.stop()
+
+
+def _leg(cores: int, sf_dir: str) -> None:
+    import time
+
+    from ocr_dataset_builder_spark.queries_final import q_corpus_prep_final
+    from ocr_dataset_builder_spark.session import get_spark
+
+    spark = get_spark(
+        f"final-scale-{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            # same rationale as scaling_emb: byte-tiny, CPU-dense input
+            "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024),
+        },
+    )
+    res: dict = {"cores": cores, "backend": BACKEND}
+    t0 = time.monotonic()
+    df = q_corpus_prep_final(spark, sf_dir, backend=BACKEND)
+    res["barriers_sec"] = round(time.monotonic() - t0, 3)
+    t1 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    res["stream_sec"] = round(time.monotonic() - t1, 3)
+    res["total_sec"] = round(time.monotonic() - t0, 3)
+    res["rows"] = df.count()
+    spark.stop()
+    print("LEGJSON " + json.dumps(res))
+
+
+def _run_leg(cores: str, sf_dir: str) -> dict:
+    env = dict(
+        os.environ, SPARK_DRIVER_MEM=os.environ.get("SCALE_HEAP", "48g")
+    )
+    p = subprocess.run(
+        [sys.executable, __file__, "--leg", cores, sf_dir],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=5400,
+        check=True,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("LEGJSON "):
+            return json.loads(line[len("LEGJSON "):])
+    raise RuntimeError(f"no LEGJSON in leg output:\n{p.stdout}\n{p.stderr}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        _leg(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--build":
+        _build(sys.argv[2])
+        return
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="odb_finalscale_")
+    subprocess.run(
+        [sys.executable, __file__, "--build", work], timeout=1800, check=True
+    )
+
+    order = os.environ.get("SCALE_ORDER", "4n_first")
+    if order == "4n_first":
+        r4n = _run_leg(N4_CORES, work)
+        rn = _run_leg(N_CORES, work)
+    else:
+        rn = _run_leg(N_CORES, work)
+        r4n = _run_leg(N4_CORES, work)
+
+    core_ratio = int(N4_CORES) / int(N_CORES)
+
+    def eff(key: str) -> float:
+        return round((rn[key] / r4n[key]) / core_ratio, 3)
+
+    block = f"""
+## corpus_prep_final scaling run {datetime.now(timezone.utc).isoformat(timespec="seconds")} (backend={BACKEND})
+
+Replicated corpus: {DOC_REP}x sf0.1 documents (per-copy text suffix so
+exact dedup keeps every replica — the volume rides through all seven
+stages) + {DOC_REP}x embeddings (perturbed near-dup bundles), output
+{rn["rows"]} training-stream rows. Barriers = DataFrame construction
+(the three stage-1..4 localCheckpoints run here); stream = stages 5-7
+force + final text join.
+
+| leg | barriers | stream | total |
+|---|---|---|---|
+| local[{N_CORES}] | {rn["barriers_sec"]} | {rn["stream_sec"]} | {rn["total_sec"]} |
+| local[{N4_CORES}] | {r4n["barriers_sec"]} | {r4n["stream_sec"]} | {r4n["total_sec"]} |
+
+Efficiency (T_N/T_4N)/{core_ratio:g}: barriers {eff("barriers_sec")},
+stream {eff("stream_sec")}, total {eff("total_sec")}. Leg order: {order}.
+"""
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+        f.write(block)
+    print(
+        json.dumps(
+            {
+                "backend": BACKEND,
+                "total_eff": eff("total_sec"),
+                "barriers_eff": eff("barriers_sec"),
+                "stream_eff": eff("stream_sec"),
+                "rows": r4n["rows"],
+                "t4n_total": r4n["total_sec"],
+                "tn_total": rn["total_sec"],
+            }
+        )
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
