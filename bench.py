@@ -21,6 +21,17 @@ import os
 import sys
 import time
 
+# Pin BLAS to one thread per process BEFORE the JVM (and its forked
+# Python workers) launches: this container's OpenBLAS is built with
+# MAX_THREADS=2, so every numpy GEMM in every Arrow-batch worker may
+# spawn 2 threads — at local[32] the `_arrow` kernels would run up to 64
+# BLAS threads on 32 cores. That both slows the kernels (oversubscription)
+# and decouples "cores" from Spark parallelism, which corrupts any
+# N-vs-4N comparison built on these numbers. setdefault so an explicit
+# caller override still wins.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -245,6 +245,15 @@ def _run_leg(cores: str, emb_dir: str, km_dir: str) -> dict:
     env = dict(
         os.environ,
         SPARK_DRIVER_MEM=os.environ.get("SCALE_HEAP", "48g"),
+        # pin BLAS to 1 thread/worker: this OpenBLAS allows 2 per GEMM
+        # (MAX_THREADS=2), so an unpinned leg runs up to 2*cores BLAS
+        # threads — the N leg then uses ~2N effective cores and the 4N
+        # leg oversubscribes the host, corrupting the efficiency ratio.
+        # The 2026-08-18 unpinned arrow runs in BENCH_SCALING.md measured
+        # exactly that artifact.
+        OPENBLAS_NUM_THREADS="1",
+        OMP_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
     )
     p = subprocess.run(
         [sys.executable, __file__, "--leg", cores, emb_dir, km_dir],
