@@ -54,6 +54,23 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Pin BLAS to one thread inside executor Python workers. The arrow
+    # GEMM kernels (queries_corpus backend="arrow") get their parallelism
+    # from Spark tasks, one GEMM per Arrow batch; an unpinned OpenBLAS
+    # (this container's build allows 2 threads/GEMM, typical distro
+    # builds allow ncpu) multiplies every concurrent task's kernel by
+    # its own thread pool — measured here as anti-scaling at 16+ cores
+    # (BENCH_SCALING.md 2026-08-18 adjudication). spark.executorEnv is
+    # the only channel that reaches workers on a REAL cluster, where
+    # executors do not inherit the driver's environment; local-mode
+    # workers inherit the driver env, which bench.py/scaling harnesses
+    # pin themselves.
+    for blas_var in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+    ):
+        builder = builder.config(f"spark.executorEnv.{blas_var}", "1")
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     active = SparkSession.getActiveSession()
