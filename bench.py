@@ -252,17 +252,23 @@ def main() -> None:
     # on the STORE subset (exactly what the pure form trains, persisted +
     # materialized outside the timed region) so the sample is assignment
     # + store-compare + within-batch dedup only.
+    # held artifacts are localCheckpoint()ed, not persist()ed: the query
+    # carries lazy in-plan localCheckpoint barriers (one execution per
+    # subtree per action), so each sample must REBUILD the plan
+    # (timed_factory) or runs 2+ would reuse run 1's materialized
+    # barriers and time only the tail; and clearCache() between factory
+    # runs would silently unpersist a cached artifact (turning marginal
+    # back into pure) while an RDD checkpoint survives it.
     held_store_cent = qc._trained_centroids(
         spark,
         SF_DIR,
         e=qc._vectors(spark, SF_DIR).where(
             F.col("vec_id") % qc._SEM_NEW_MOD < 8
         ),
-    )[1].persist()
-    held_store_cent.count()
-    timed(
+    )[1].localCheckpoint()
+    timed_factory(
         "semantic_dedup_incremental_marginal",
-        qc.q_semantic_dedup_incremental(
+        lambda: qc.q_semantic_dedup_incremental(
             spark, SF_DIR, centroids=held_store_cent
         ),
     )
@@ -285,15 +291,14 @@ def main() -> None:
             "vec_id",
         )
         .join(store_e, "vec_id")
-        .persist()
+        .localCheckpoint()
     )
-    held_kept.count()
-    timed(
+    timed_factory(
         "semantic_incremental_arrival",
-        qc.semantic_incremental_verdicts(new_e, held_kept, held_store_cent),
+        lambda: qc.semantic_incremental_verdicts(
+            new_e, held_kept, held_store_cent
+        ),
     )
-    held_kept.unpersist()
-    held_store_cent.unpersist()
 
     # backend="arrow" production paths (round 7): the GEMM kernels real
     # clusters would run — tracked round-over-round alongside the
