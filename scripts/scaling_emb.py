@@ -290,13 +290,38 @@ def main() -> None:
         check=True,
     )
 
+    # Interleaved repeats with a per-job MIN: this host carries
+    # EXTERNAL tenant load invisible to the guest's loadavg (the
+    # hypervisor is shared; steal time does not show), and a single
+    # sample per leg measured the weather, not the engine — the
+    # 2026-08-18 runs read an impossible LSH efficiency of 1.486 and
+    # kmeans anti-scaling that vanished on re-measurement. Alternating
+    # 4N,N,4N,N keeps both legs' samples in the same weather window,
+    # and min-of-k is the steady-state capability estimator under
+    # strictly additive noise (same rationale as bench.py STAT=best).
+    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
     order = os.environ.get("SCALE_ORDER", "4n_first")
-    if order == "4n_first":
-        r4n = _run_leg(N4_CORES, emb_dir, km_dir)
-        rn = _run_leg(N_CORES, emb_dir, km_dir)
-    else:
-        rn = _run_leg(N_CORES, emb_dir, km_dir)
-        r4n = _run_leg(N4_CORES, emb_dir, km_dir)
+    keys = (
+        "kmeans_train_sec",
+        "semantic_dedup_sec",
+        "lsh_sec",
+        "incremental_arrival_sec",
+    )
+    loads: list[str] = []
+    rn: dict = {}
+    r4n: dict = {}
+    for rep in range(repeats):
+        pair = [N4_CORES, N_CORES] if order == "4n_first" else [N_CORES, N4_CORES]
+        for cores in pair:
+            with open("/proc/loadavg") as lf:
+                loads.append(f"local[{cores}] rep{rep}: {lf.read().split()[0]}")
+            res = _run_leg(cores, emb_dir, km_dir)
+            tgt = r4n if cores == N4_CORES else rn
+            for k, v in res.items():
+                if k in keys and k in tgt:
+                    tgt[k] = min(tgt[k], v)
+                else:
+                    tgt[k] = v
 
     def eff(key: str) -> float:
         # ratio from the ACTUAL core counts, not a hardcoded 4 — a
@@ -328,7 +353,8 @@ Cap evidence (the bounds are MEASURED firing, not argued):
   semantic dups overall.
 - _EMB_BUCKET_CAP: {r4n["lsh_capped_buckets"]} LSH bucket(s) over cap
   dropped from the pair expansion; {r4n["lsh_pairs"]} verified pairs.
-Leg order: {order}.
+Leg order: {order}; {repeats} interleaved repeat(s) per leg, per-job
+MIN (additive-noise rejection); pre-leg 1-min loadavg: {"; ".join(loads)}.
 """
     path = os.path.join(REPO, "BENCH_SCALING.md")
     with open(path, "a") as f:

@@ -159,13 +159,27 @@ def main() -> None:
         [sys.executable, __file__, "--build", work], timeout=1800, check=True
     )
 
+    # Interleaved repeats + per-key MIN, same rationale as scaling_emb:
+    # the hypervisor host carries external tenant load invisible to the
+    # guest loadavg, and a single sample per leg measures the weather.
+    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
     order = os.environ.get("SCALE_ORDER", "4n_first")
-    if order == "4n_first":
-        r4n = _run_leg(N4_CORES, work)
-        rn = _run_leg(N_CORES, work)
-    else:
-        rn = _run_leg(N_CORES, work)
-        r4n = _run_leg(N4_CORES, work)
+    keys = ("barriers_sec", "stream_sec", "total_sec")
+    loads: list[str] = []
+    rn: dict = {}
+    r4n: dict = {}
+    for rep in range(repeats):
+        pair = [N4_CORES, N_CORES] if order == "4n_first" else [N_CORES, N4_CORES]
+        for cores in pair:
+            with open("/proc/loadavg") as lf:
+                loads.append(f"local[{cores}] rep{rep}: {lf.read().split()[0]}")
+            res = _run_leg(cores, work)
+            tgt = r4n if cores == N4_CORES else rn
+            for k, v in res.items():
+                if k in keys and k in tgt:
+                    tgt[k] = min(tgt[k], v)
+                else:
+                    tgt[k] = v
 
     core_ratio = int(N4_CORES) / int(N_CORES)
 
@@ -188,7 +202,9 @@ force + final text join.
 | local[{N4_CORES}] | {r4n["barriers_sec"]} | {r4n["stream_sec"]} | {r4n["total_sec"]} |
 
 Efficiency (T_N/T_4N)/{core_ratio:g}: barriers {eff("barriers_sec")},
-stream {eff("stream_sec")}, total {eff("total_sec")}. Leg order: {order}.
+stream {eff("stream_sec")}, total {eff("total_sec")}. Leg order: {order};
+{repeats} interleaved repeat(s) per leg, per-key MIN; pre-leg 1-min
+loadavg: {"; ".join(loads)}.
 """
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(block)
