@@ -52,13 +52,44 @@ def _build(out: str) -> None:
     ks = spark.range(DOC_REP).withColumnRenamed("id", "k")
 
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
-    # suffix makes every replica's normalized text (and so its md5 fp)
-    # unique — the composed chain's exact-dedup stage must NOT collapse
-    # the replication, or stages 3-7 run at 1x and the "30x" run lies
+    # Every replica's text must differ from its siblings' at the
+    # SUBSTRING-WINDOW level, not just as a whole: a mere " #rN" suffix
+    # defeats exact dedup but leaves every _SUBSTR_W-token window of the
+    # shared body identical across the 30 copies, so the composed
+    # chain's substring stage (CORRECTLY) empties 29 of every 30
+    # replicas and stages 4-7 run on ~nothing — measured: 15,000 docs ->
+    # 2 survivors -> 0 output rows, a degenerate "30x" run. Interleaving
+    # a per-replica marker token every 4 words guarantees no 8-token
+    # window is shared between replicas (W=_SUBSTR_W=8), so the volume
+    # rides through ALL seven stages; within-replica (1x-natural)
+    # duplication is preserved.
+    marked = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x, i: F.when(
+                i % 4 == 3,
+                F.concat(x, F.lit(" @r"), F.col("k").cast("string")),
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    # Replica ids preserve the BASE doc's residue mod _PROBE_MOD (97):
+    # id = (base*REP + k)*97 + base%97. With the naive base*REP + k,
+    # gcd(REP, 97) = 1 puts ~REP/97 of EVERY base doc's replicas into
+    # the decontamination probe set, and the other replicas (sharing
+    # the base's shingles) get flagged contaminated — measured 14,632
+    # of 14,845 docs wiped at stage 1. Residue-preserving ids make a
+    # replica a probe doc iff its BASE is one, exactly the 1x
+    # relationship; probe replicas never enter the corpus (the d
+    # filter drops them) and contamination reverts to base-corpus
+    # rates. Ids stay interleaved for the every-50th centroid seeding.
     rep_docs = docs.crossJoin(ks).select(
-        (F.col("doc_id") * DOC_REP + F.col("k")).alias("doc_id"),
+        (
+            (F.col("doc_id") * DOC_REP + F.col("k")) * 97
+            + F.col("doc_id") % 97
+        ).alias("doc_id"),
         "source",
-        F.concat(F.col("text"), F.lit(" #r"), F.col("k")).alias("text"),
+        F.concat(marked, F.lit(" #r"), F.col("k")).alias("text"),
         *[
             c
             for c in docs.columns
@@ -71,7 +102,10 @@ def _build(out: str) -> None:
 
     emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
     rep_emb = emb.crossJoin(ks).select(
-        (F.col("vec_id") * DOC_REP + F.col("k")).alias("vec_id"),
+        (
+            (F.col("vec_id") * DOC_REP + F.col("k")) * 97
+            + F.col("vec_id") % 97
+        ).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: (
@@ -115,6 +149,7 @@ def _leg(cores: int, sf_dir: str) -> None:
     res["stream_sec"] = round(time.monotonic() - t1, 3)
     res["total_sec"] = round(time.monotonic() - t0, 3)
     res["rows"] = df.count()
+    res["docs_in"] = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
     print("LEGJSON " + json.dumps(res))
 
@@ -181,6 +216,16 @@ def main() -> None:
                 else:
                     tgt[k] = v
 
+    if rn.get("rows", 0) == 0 or r4n.get("rows", 0) == 0:
+        # a zero-row deliverable means a pipeline stage annihilated the
+        # replication (see the _build marker comment) — the timings
+        # measure a degenerate chain; fail LOUDLY instead of appending
+        # them as scaling evidence
+        raise RuntimeError(
+            f"degenerate scaling run: deliverable rows N={rn.get('rows')} "
+            f"4N={r4n.get('rows')} — fixture did not survive the chain"
+        )
+
     core_ratio = int(N4_CORES) / int(N_CORES)
 
     def eff(key: str) -> float:
@@ -189,10 +234,18 @@ def main() -> None:
     block = f"""
 ## corpus_prep_final scaling run {datetime.now(timezone.utc).isoformat(timespec="seconds")} (backend={BACKEND})
 
-Replicated corpus: {DOC_REP}x sf0.1 documents (per-copy text suffix so
-exact dedup keeps every replica — the volume rides through all seven
-stages) + {DOC_REP}x embeddings (perturbed near-dup bundles), output
-{rn["rows"]} training-stream rows. Barriers = DataFrame construction
+Replicated corpus: {DOC_REP}x sf0.1 = {rn["docs_in"]} documents
+(per-replica marker tokens every 4 words — no shared substring window
+between replicas; probe-residue-preserving ids — a replica is an eval
+doc iff its base is) + {DOC_REP}x embeddings (perturbed near-dup
+bundles), output {rn["rows"]} training-stream rows. The funnel is the
+CHAIN'S OWN semantics, not fixture loss: the synthetic corpus's tiny
+vocab saturates the shingle space (decontaminate flags 94% at plain
+1x sf0.1 already) and the semantic stage correctly thins the 30
+near-identical replica embeddings back to ~1 — so stages 1-4
+(decontaminate probe join, exact dedup, the substring machinery, the
+semantic assign+fold) carry the FULL {DOC_REP}x volume while stages
+5-7 run on the ~1x survivor set. Barriers = DataFrame construction
 (the three stage-1..4 localCheckpoints run here); stream = stages 5-7
 force + final text join.
 
