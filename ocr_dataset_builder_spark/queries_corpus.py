@@ -1584,7 +1584,9 @@ SELECT q_id, cand_id, rnk, cos FROM (
 _N_PLANES = 8
 
 
-def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_lsh_bucket(
+    spark: SparkSession, sf_dir: str, backend: str = "fold"
+) -> DataFrame:
     """Random-hyperplane LSH bucketing with integer pseudo-plane weights
     w(p,d) = ((p*1103515245 + d*12345) % 2001) - 1000 — deterministic and
     engine-portable. Bucket = 8-bit sign pattern.
@@ -1594,10 +1596,21 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     index order (the _IVF_D2_SQL discipline) — ZERO shuffles and zero
     Python; the previous form exploded dims x planes (512 rows per
     vector) through two decimal aggregations. ANN candidates are
-    same-bucket vectors."""
+    same-bucket vectors.
+
+    ``backend="arrow"`` (round 7, production): all 8 projections per
+    vector are ONE n x 8 GEMM per Arrow batch (X @ W.T, then sign-bit
+    pack). Once the pair verification went GEMM, this interpreted fold
+    became the LSH path's dominant cost (~512 interpreted ops/vector —
+    hundreds of core-seconds at 400k vectors). Same boundary caveat as
+    _assign_to_arrow: a projection within an ulp of 0 can flip its sign
+    bit between summation orders, so registered oracle queries keep the
+    fold; pinned identical on the fixtures by tests."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if backend == "arrow":
+        return _lsh_bucket_arrow(e)
 
     def plane_sum(p: int) -> F.Column:
         idx = F.sequence(F.lit(0), F.size("v") - 1)
@@ -1619,6 +1632,55 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
+def _lsh_bucket_arrow(e: DataFrame) -> DataFrame:
+    """(vec_id, v) -> (vec_id, v, bucket) via one GEMM per Arrow batch.
+
+    W is the same deterministic integer pseudo-plane matrix as the fold
+    path, built once driver-side; bucket = packed sign bits of X @ W.T.
+    Carries ``v`` through so the near-dup composition reads the vectors
+    once (the fold path joins buckets back onto the embedding relation).
+    """
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        W = None  # built from the first batch's dim (8 x d ints — cheap)
+        pow2 = (1 << np.arange(_N_PLANES)).astype(np.int64)
+        for batch in it:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(vid) == 0:
+                continue  # reshape(0, -1) raises (the _assign_to_arrow lesson)
+            varr = batch.column("v")
+            X = (
+                varr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(len(vid), -1)
+            )
+            if W is None or W.shape[1] != X.shape[1]:
+                W = np.array(
+                    [
+                        [
+                            ((p * 1103515245 + i * 12345) % 2001) - 1000
+                            for i in range(X.shape[1])
+                        ]
+                        for p in range(_N_PLANES)
+                    ],
+                    dtype=np.float64,
+                )
+            bkt = (((X @ W.T) > 0.0) @ pow2).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vid, type=pa.int64()),
+                    varr,
+                    pa.array(bkt, type=pa.int32()),
+                ],
+                names=["vec_id", "v", "bucket"],
+            )
+
+    return e.select("vec_id", "v").mapInArrow(
+        _batches, schema="vec_id bigint, v array<double>, bucket int"
+    )
 
 
 def _bucket_sql_expr() -> str:
@@ -2330,14 +2392,19 @@ def q_embedding_near_dup_lsh(
     one upper-triangle GEMM per bucket inside a grouped mapInArrow pass
     (_near_dup_pairs_arrow) — the 108k-vector harness measured the
     interpreted pair fold ANTI-scaling (276 s at 8 cores -> 442 s at 16,
-    allocation-bound); registered query keeps the oracle-exact fold."""
+    allocation-bound) — AND the hyperplane bucketing itself is one
+    n x 8 GEMM per batch (_lsh_bucket_arrow, which carries the vectors
+    through so the composition reads the embedding relation once, no
+    bucket join-back): once verification went GEMM, the interpreted
+    8-plane fold (~512 ops/vector) was the path's dominant remaining
+    cost. Registered query keeps the oracle-exact fold."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if backend == "arrow":
+        return _near_dup_pairs_arrow(_lsh_bucket_arrow(e))
     b = q_ann_lsh_bucket(spark, sf_dir)
     ev = e.join(b, "vec_id")
-    if backend == "arrow":
-        return _near_dup_pairs_arrow(ev)
     # degenerate-bucket guard (same rationale as _LSH_BUCKET_CAP): the
     # collect_list carries full vectors, so an unbounded bucket is an OOM
     # row at 100 TB; oversized buckets are dropped in lockstep with the

@@ -226,3 +226,71 @@ def test_store_compare_arrow_batch_boundary(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == [(100 + i, 30) for i in range(30)]
+
+
+def test_lsh_bucket_arrow_matches_fold(spark, sf_dir):
+    """The hyperplane bucketing's GEMM form (one X @ W.T per batch,
+    sign-bit pack) assigns every fixture vector to the same bucket as
+    the oracle-exact interpreted fold. Once pair verification went
+    GEMM, this 8-plane fold (~512 interpreted ops/vector) became the
+    arrow LSH path's dominant remaining cost."""
+    from pyspark.sql import functions as F
+
+    fold = {
+        r["vec_id"]: r["bucket"]
+        for r in qc.q_ann_lsh_bucket(spark, sf_dir).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["bucket"]
+        for r in qc.q_ann_lsh_bucket(
+            spark, sf_dir, backend="arrow"
+        ).collect()
+    }
+    assert len(fold) > 0
+    assert fold == arrow
+    # the arrow form also carries the vectors through (the composition
+    # reads the embedding relation once, no bucket join-back)
+    e = qc._emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    carried = qc._lsh_bucket_arrow(e)
+    assert set(carried.columns) == {"vec_id", "v", "bucket"}
+
+
+def test_lsh_bucket_arrow_zero_vector_sign_boundary(spark):
+    """A zero vector projects to EXACTLY 0.0 on every plane in both
+    summation orders — `> 0` is false in both, bucket 0. This pins the
+    sign boundary where fold/arrow could only diverge by an ulp on
+    nonzero near-boundary projections (why registered queries keep the
+    fold)."""
+    e = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id bigint, v array<double>",
+    )
+    got = {r["vec_id"]: r["bucket"] for r in qc._lsh_bucket_arrow(e).collect()}
+    assert got[1] == 0
+    # vector 2's bucket must match the fold computed on the same rows
+    from pyspark.sql import functions as F
+
+    def plane_sum(p):
+        idx = F.sequence(F.lit(0), F.size("v") - 1)
+        terms = F.transform(
+            idx,
+            lambda i: ((F.lit(p * 1103515245).cast("bigint")
+                        + i.cast("bigint") * 12345) % 2001 - 1000).cast("double")
+            * F.element_at("v", i.cast("int") + 1),
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = sum(
+        (
+            F.when(plane_sum(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(qc._N_PLANES)
+        ),
+        F.lit(0),
+    )
+    fold = {
+        r["vec_id"]: r["b"]
+        for r in e.select("vec_id", bucket.cast("int").alias("b")).collect()
+    }
+    assert got == fold
