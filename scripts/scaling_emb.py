@@ -225,7 +225,11 @@ def _leg(cores: int, emb_dir: str, km_dir: str) -> None:
         flush=True,
     )
     kept_store.unpersist()
-    b = qc.q_ann_lsh_bucket(spark, emb_dir)
+    # same backend as the timed LSH leg so the cap evidence counts the
+    # buckets that leg actually used (and the fold recompute — ~330
+    # core-seconds of interpreted plane folds at 400k vectors — never
+    # rides inside an arrow leg)
+    b = qc.q_ann_lsh_bucket(spark, emb_dir, backend=BACKEND)
     res["lsh_capped_buckets"] = (
         b.groupBy("bucket")
         .count()
