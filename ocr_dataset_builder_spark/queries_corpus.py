@@ -50,7 +50,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    # _spread BEFORE the normalize projection (r8): the whitespace regex
+    # plus everything stacked on norm (ngram explode, per-window md5,
+    # minhash/simhash signature folds) otherwise runs inside the scan's
+    # task count — ONE task at bench scale (single-row-group parquet).
+    # The exchange carries the pruned (doc_id, lang, text) columns once;
+    # the conditional inside _spread skips it when the scan is already
+    # parallel (real-scale inputs).
+    return _spread(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", "lang", _NORM_SPARK(F.col("text")).alias("norm")
     )
 
@@ -106,6 +113,85 @@ def _maybe_persist(df: DataFrame, storage_level) -> DataFrame:
 
         storage_level = getattr(StorageLevel, storage_level)
     return df.persist(storage_level)
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition to the session's shuffle-partition count before a
+    CPU-heavy scan-local computation (round 8, guide §2.5/§6).
+
+    Why: the embedding/doc parquet leaves are single-row-group files at
+    bench scale, so a scan is ONE task no matter the core count
+    (``spark.sql.files.minPartitionNum`` cannot split below row-group
+    granularity), and every interpreted in-row fold stacked on the scan
+    runs serially. An explicit numbered repartition is the only spread
+    AQE will not re-coalesce (AQE coalesces by BYTES and these relations
+    are tiny-but-CPU-dense — exactly the case byte-based coalescing gets
+    wrong). The count comes from ``spark.sql.shuffle.partitions`` —
+    deployment-tuned, never a local constant; the added exchange is
+    linear in the relation while the folds it parallelizes are
+    O(n*k*dim), so it also holds at the driver's larger scale factors."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # Scale guard: only add the exchange when the input is actually
+        # under-parallel (tiny files, one row group -> one task). A real
+        # 100 TB scan already carries >> shuffle-partition splits and
+        # must NOT pay an extra full-payload shuffle; a localCheckpoint
+        # barrier relation already carries the session's shuffle
+        # partitioning and skips too. getNumPartitions is plan-time
+        # introspection — no job runs.
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass
+    return df.repartition(n, *cols)
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    """Lazy in-plan materialization barrier (localCheckpoint(eager=False))
+    for a subtree the surrounding plan references more than once — Spark
+    has no common-subtree materialization, so without it one action
+    re-executes the subtree per reference (measured: the incremental
+    arrival kernels ran 3x/2x, r7; the semantic assignment 3-4x, r8).
+
+    Gated by $SPARK_GRAFT_PLAN_BARRIERS (default on) per ADVICE r7:
+    local checkpoints store blocks on executors only, so on a real
+    cluster with dynamic allocation / preemptible executors a lost
+    executor fails the job instead of recomputing, and checkpointed
+    blocks live until driver GC. Long-running cluster sessions that
+    prefer recomputability (or persist these boundaries to real tables,
+    as a production pipeline would) set SPARK_GRAFT_PLAN_BARRIERS=0 and
+    get the pure-plan form; results are identical either way."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_PLAN_BARRIERS", "1") == "0":
+        return df
+    return df.localCheckpoint(eager=False)
+
+
+def _nearest_ranked(d2: DataFrame, rank_max: int) -> DataFrame:
+    """Rank a (vec_id, cent_id, d2) relation to the ``rank_max`` nearest
+    per vector. ``rank_max == 1`` (every trainer/assign call in the
+    module) is a min-struct partial aggregation — map-side combined,
+    no per-vector sort, and the exchange carries one row per vector
+    instead of one per (vector, centroid). The struct ordering
+    (d2 asc, then cent_id asc, nulls first) is exactly the window
+    form's ``orderBy(d2.asc, cent_id.asc)`` with row_number == 1, so
+    values and tie-breaks are identical (pinned by the driver oracle).
+    ``rank_max > 1`` keeps the row_number window."""
+    if rank_max == 1:
+        m = d2.groupBy("vec_id").agg(F.min(F.struct("d2", "cent_id")).alias("m"))
+        return m.select(
+            "vec_id",
+            F.col("m.cent_id").alias("cent_id"),
+            F.col("m.d2").alias("d2"),
+            F.lit(1).alias("rnk"),
+        )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    return d2.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= rank_max
+    )
 
 
 def _shingles(
@@ -492,27 +578,34 @@ def connected_components(
             F.least(
                 labels["comp"], F.coalesce(nbr["nbr_min"], labels["comp"])
             ).alias("comp"),
+            labels["comp"].alias("_old"),
         )
         # pointer jump: follow the label one hop (label table joined on
         # itself) — halves the remaining path length every iteration
         parent = stepped.select(
             F.col("doc_id").alias("comp"), F.col("comp").alias("comp2")
         )
+        # the convergence probe rides the checkpoint (r8): `chg` is
+        # computed in the same pass the checkpoint materializes, so
+        # detecting a fixed point is a filter+limit over the stored
+        # blocks — the previous form re-joined new vs old labels and
+        # full-counted the diff, a whole extra join job per iteration
         new_labels = _ckpt(
             stepped.join(parent, "comp", "left").select(
                 "doc_id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))
+                    )
+                    != F.col("_old")
+                ).alias("chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("chg")).limit(1).count()
+        labels = new_labels.select("doc_id", "comp")
         if changed == 0:
             sym.unpersist()
             return labels.select("doc_id", "comp")
@@ -1025,7 +1118,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, word/number tokens, and a
     BPE-ish pretokenizer count (the standard 'how many LLM tokens is
     this corpus' pre-estimate) — all JVM regexp kernels, one scan."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir), "doc_id")
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
@@ -1730,15 +1823,13 @@ def _ivf_assign(spark: SparkSession, sf_dir: str, rank_max: int) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    d2 = e.crossJoin(F.broadcast(cent)).select(
+    # same r8 shape as _assign_to: spread the fold (round-robin, so the
+    # fold stays below the agg/window exchange and is ReusedExchange-
+    # dedupable), rank without a sort when only the nearest is needed
+    d2 = _spread(e, "vec_id").crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", d2_expr.alias("d2")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cent_id").asc()
-    )
-    return d2.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= rank_max
-    )
+    return _nearest_ranked(d2, rank_max)
 
 
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1885,7 +1976,15 @@ def _centroid_means(assign: DataFrame, e: DataFrame) -> DataFrame:
     """New centroids from an assignment: per-(cent_id, dim) DECIMAL-exact
     means rounded to 6 dp, re-assembled into dim-ordered arrays."""
     dec = lambda c: F.round(c.cast("double"), 9).cast("decimal(25,9)")  # noqa: E731
-    vals = assign.join(e, "vec_id").select(
+    # r8: hash-spread the n-row assignment by cent_id BEFORE the join +
+    # posexplode. hash(cent_id) satisfies the ClusteredDistribution of
+    # BOTH downstream groupBys ((cent_id, dim) and (cent_id)), so the
+    # per-dim decimal sums and the array re-assembly run with ZERO
+    # further exchanges — previously each agg exchanged the n*dim
+    # exploded rows (plan: 3 Exchange -> 1, and the one that remains
+    # carries n rows, not n*dim). Decimal addition is exact, so the
+    # changed row routing cannot move a value.
+    vals = _spread(assign, "cent_id").join(e, "vec_id").select(
         "cent_id", F.posexplode("v").alias("dim", "val")
     )
     per = vals.groupBy("cent_id", "dim").agg(
@@ -1931,15 +2030,21 @@ def _assign_to(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    d2 = e.crossJoin(F.broadcast(cent)).select(
+    # _spread BEFORE the broadcast crossJoin: the O(n*k) interpreted
+    # folds then run on shuffle-partition-count tasks instead of the
+    # scan's task count (1 at bench scale — measured 0.88 s -> 0.23 s
+    # per assignment, r8). Round-robin (no key) on purpose: the
+    # downstream per-vector agg/window then needs its own exchange, so
+    # the fold sits BELOW a shuffle boundary and multi-reference plans
+    # (semantic_prep/flags reference the assignment 3-5x) dedup it via
+    # ReusedExchange instead of re-running the quadratic per reference.
+    # A vec_id's k distance rows never split across tasks (they come
+    # from one input row), so the partial min still completes map-side
+    # and the exchange carries one row per vector.
+    d2 = _spread(e, "vec_id").crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", d2_expr.alias("d2")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cent_id").asc()
-    )
-    return d2.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= rank_max
-    )
+    return _nearest_ranked(d2, rank_max)
 
 
 def _assign_to_arrow(e: DataFrame, cent: DataFrame, rank_max: int) -> DataFrame:
@@ -2041,6 +2146,12 @@ def _trained_centroids(
         assign = _assign_to(e, cent, 1, backend=backend).select(
             "vec_id", "cent_id"
         )
+        # per-iteration localCheckpoint: keeps the lineage flat AND pays
+        # for each Lloyd step exactly once. (r8 re-measured the lazy
+        # alternative — no checkpoints, one action runs the unrolled
+        # chain: every downstream reference re-executes the trainer
+        # subtree (broadcast-exchange reuse does NOT rescue it) and the
+        # family got 20-85% slower; see OPTIMIZATION_r08.md.)
         cent = _centroid_means(assign, e).localCheckpoint()
     return e, cent
 
@@ -2597,8 +2708,12 @@ def _semantic_flags(
     (_member_flags_arrow's per-cluster GEMM) through numpy; registered
     oracle queries keep the default fold."""
     e, cent = _vectors_and_centroids(spark, sf_dir, centroids, backend)
-    assign = _assign_to(e, cent, 1, backend=backend).select(
-        "vec_id", "cent_id", "d2"
+    # _barrier: _semantic_flags_from + _semantic_flags_tail reference the
+    # assignment 3x; without it each reference re-runs the O(n*k) fold
+    assign = _barrier(
+        _assign_to(e, cent, 1, backend=backend).select(
+            "vec_id", "cent_id", "d2"
+        )
     )
     return _semantic_flags_from(assign, e, backend=backend)
 
@@ -3020,7 +3135,10 @@ def q_cluster_prototypes(
     the prototypical core). One broadcast join of the k-row mean table —
     no window, no quadratic. ``centroids=`` shares a held trainer."""
     e, cent = _vectors_and_centroids(spark, sf_dir, centroids)
-    assign = _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
+    # _barrier: _proto_flags references the assignment twice (mean + join)
+    assign = _barrier(
+        _assign_to(e, cent, 1).select("vec_id", "cent_id", "d2")
+    )
     return _proto_flags(assign).select(
         "vec_id",
         "cent_id",
@@ -3044,8 +3162,12 @@ def q_semantic_prep(
     ``backend="arrow"`` routes trainer, assignment, and the member
     cosine through the GEMM kernels (production path)."""
     e, cent = _vectors_and_centroids(spark, sf_dir, centroids, backend)
-    assign = _assign_to(e, cent, 1, backend=backend).select(
-        "vec_id", "cent_id", "d2"
+    # _barrier: the flags chain references the assignment 3x and
+    # _proto_flags 2x more — 5 re-executions of the fold without it
+    assign = _barrier(
+        _assign_to(e, cent, 1, backend=backend).select(
+            "vec_id", "cent_id", "d2"
+        )
     )
     sem = _semantic_flags_from(assign, e, backend=backend).select(
         "vec_id", "cent_id", F.col("keep").alias("keep_dedup")
@@ -3222,7 +3344,7 @@ def semantic_incremental_verdicts(
     n_assign = (
         _assign_to(new, cent, 1, backend=backend)
         .select("vec_id", "cent_id", "d2")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     ksize = stored_kept.groupBy("cent_id").agg(F.count("*").alias("kn"))
     small_k = stored_kept.join(
@@ -3234,7 +3356,7 @@ def semantic_incremental_verdicts(
     if backend == "arrow":
         cmp = _store_compare_arrow(
             n_assign.select("vec_id", "cent_id").join(new, "vec_id"), small_k
-        ).localCheckpoint(eager=False)
+        ).transform(_barrier)
     else:
         nv = (
             n_assign.select("vec_id", "cent_id")
@@ -3278,7 +3400,7 @@ def semantic_incremental_verdicts(
             .select(
                 "vec_id", F.col("nsd").cast("bigint").alias("n_store_dups")
             )
-            .localCheckpoint(eager=False)
+            .transform(_barrier)
         )
     surv = n_assign.join(cmp, "vec_id", "left_anti")
     b_flags = _semantic_flags_from(surv, new, backend=backend).select(
@@ -3322,8 +3444,10 @@ def q_semantic_dedup_incremental(
         _, cent = _trained_centroids(spark, sf_dir, e=store, backend=backend)
     else:
         cent = centroids
-    s_assign = _assign_to(store, cent, 1, backend=backend).select(
-        "vec_id", "cent_id", "d2"
+    s_assign = _barrier(
+        _assign_to(store, cent, 1, backend=backend).select(
+            "vec_id", "cent_id", "d2"
+        )
     )
     s_keep = (
         _semantic_flags_from(s_assign, store, backend=backend)
@@ -3343,7 +3467,7 @@ def q_semantic_dedup_incremental(
         s_assign.select("vec_id", "cent_id")
         .join(s_keep, "vec_id")
         .join(store, "vec_id")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     return semantic_incremental_verdicts(new, stored_kept, cent, backend)
 

@@ -39,7 +39,12 @@ _HTML_SQL_CTE = (
 
 
 def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _spread (r8): everything stacked on the html column is regex-dense
+    # (strip/boilerplate/block parsing) and the scan is one task at bench
+    # scale — same rationale as _norm_docs; skipped on parallel scans
+    from .queries_corpus import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id").cast("string"),
