@@ -115,7 +115,7 @@ def _maybe_persist(df: DataFrame, storage_level) -> DataFrame:
     return df.persist(storage_level)
 
 
-def _spread(df: DataFrame, *cols: str) -> DataFrame:
+def _spread(df: DataFrame, *cols: str, force: bool = False) -> DataFrame:
     """Hash-repartition to the session's shuffle-partition count before a
     CPU-heavy scan-local computation (round 8, guide §2.5/§6).
 
@@ -131,18 +131,25 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     linear in the relation while the folds it parallelizes are
     O(n*k*dim), so it also holds at the driver's larger scale factors."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    try:
-        # Scale guard: only add the exchange when the input is actually
-        # under-parallel (tiny files, one row group -> one task). A real
-        # 100 TB scan already carries >> shuffle-partition splits and
-        # must NOT pay an extra full-payload shuffle; a localCheckpoint
-        # barrier relation already carries the session's shuffle
-        # partitioning and skips too. getNumPartitions is plan-time
-        # introspection — no job runs.
-        if df.rdd.getNumPartitions() >= n:
-            return df
-    except Exception:
-        pass
+    if not force:
+        try:
+            # Scale guard: only add the exchange when the input is
+            # actually under-parallel (tiny files, one row group -> one
+            # task). A real 100 TB scan already carries >>
+            # shuffle-partition splits and must NOT pay an extra
+            # full-payload shuffle; a localCheckpoint barrier relation
+            # already carries the session's shuffle partitioning and
+            # skips too. getNumPartitions is plan-time introspection —
+            # no job runs.
+            if df.rdd.getNumPartitions() >= n:
+                return df
+        except Exception:
+            pass
+    # force=True PINS a keyed layout a downstream CPU-dense join/agg
+    # needs: a numbered user repartition is the one exchange AQE's
+    # byte-based coalescing will not collapse to a single partition
+    # (plan-time partition counts say nothing about that runtime
+    # behavior, so the guard above cannot apply).
     return df.repartition(n, *cols)
 
 
@@ -1703,7 +1710,11 @@ def q_ann_lsh_bucket(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     if backend == "arrow":
-        return _lsh_bucket_arrow(e)
+        # public contract is backend-invariant: (vec_id, bucket) only
+        # (ADVICE r7 — the v-carrying form is the INTERNAL composition
+        # entry q_embedding_near_dup_lsh uses so vectors ride along to
+        # the pair-verify GEMM without a join-back)
+        return _lsh_bucket_arrow(e).select("vec_id", "bucket")
 
     def plane_sum(p: int) -> F.Column:
         idx = F.sequence(F.lit(0), F.size("v") - 1)
@@ -1744,12 +1755,7 @@ def _lsh_bucket_arrow(e: DataFrame) -> DataFrame:
             if len(vid) == 0:
                 continue  # reshape(0, -1) raises (the _assign_to_arrow lesson)
             varr = batch.column("v")
-            X = (
-                varr.flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64, copy=False)
-                .reshape(len(vid), -1)
-            )
+            X = _np_matrix(varr, "_lsh_bucket_arrow")
             if W is None or W.shape[1] != X.shape[1]:
                 W = np.array(
                     [
@@ -2047,6 +2053,38 @@ def _assign_to(
     return _nearest_ranked(d2, rank_max)
 
 
+def _np_matrix(varr, where: str):
+    """Dense (n, dim) float64 view of an Arrow list<float/double> array.
+
+    Ragged/null guard (ADVICE r7): Arrow ``flatten()`` silently DROPS
+    null list entries, shifting every subsequent row's data, and a
+    ragged batch whose total element count divides evenly by the row
+    count reshapes into wrong rows without an error. Derive the dim
+    from the list offsets and fail loudly on any violation of the
+    uniform-dim/no-null contract the fold path enforces per-row."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    if varr.null_count:
+        raise ValueError(f"{where}: null embedding entries in batch")
+    # list_value_length (not raw .offsets) — correct under array slices
+    widths = pc.list_value_length(varr).to_numpy(zero_copy_only=False)
+    if widths.size == 0:
+        raise ValueError(f"{where}: empty batch reached the kernel")
+    if (widths != widths[0]).any():
+        raise ValueError(
+            f"{where}: ragged embedding batch (dims "
+            f"{int(widths.min())}..{int(widths.max())})"
+        )
+    flat = (
+        varr.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64, copy=False)
+    )
+    return flat.reshape(widths.size, int(widths[0]))
+
+
 def _assign_to_arrow(e: DataFrame, cent: DataFrame, rank_max: int) -> DataFrame:
     import numpy as np
 
@@ -2068,15 +2106,9 @@ def _assign_to_arrow(e: DataFrame, cent: DataFrame, rank_max: int) -> DataFrame:
                 # a 0-row RecordBatch would make reshape(0, -1) raise
                 # (cannot infer -1 from size 0) — skip it (ADVICE r6)
                 continue
-            # list<double> of uniform dim, no nulls (contract): flatten
-            # is a zero-copy view of the values buffer
-            X = (
-                batch.column("v")
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64, copy=False)
-                .reshape(len(vid), -1)
-            )
+            # list<double> of uniform dim, no nulls (contract),
+            # enforced loudly by _np_matrix (ADVICE r7 ragged guard)
+            X = _np_matrix(batch.column("v"), "_assign_to_arrow")
             # ||x||^2+||c||^2-2x.C can cancel slightly negative for
             # exact duplicates; the fold's sum-of-squares never does —
             # clamp so consumers (sqrt, cross-backend diffs) stay in
@@ -2575,12 +2607,9 @@ def _near_dup_pairs_arrow(ev: DataFrame) -> DataFrame:
         bkt = tbl.column("bucket").to_numpy(zero_copy_only=False)
         vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
         vcol = tbl.column("v")
-        X = (
-            (vcol.chunk(0) if isinstance(vcol, pa.ChunkedArray) else vcol)
-            .flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64, copy=False)
-            .reshape(len(vid), -1)
+        X = _np_matrix(
+            vcol.chunk(0) if isinstance(vcol, pa.ChunkedArray) else vcol,
+            "grouped-gemm-kernel",
         )
         starts = np.concatenate(
             ([0], np.flatnonzero(bkt[1:] != bkt[:-1]) + 1, [len(bkt)])
@@ -2757,7 +2786,15 @@ def _semantic_flags_from(
     if backend == "arrow":
         flags = _member_flags_arrow(small)
         return _semantic_flags_tail(assign, flags)
-    small = small.withColumn("n2", _n2_double(F.col("v")))
+    # _spread on cent_id (r8): the quadratic member-cosine fold below is
+    # a projection over the small x members join — AQE coalesces that
+    # join's tiny-by-bytes shuffles to ~1 partition and serializes the
+    # fold; the explicit numbered repartition pins the join layout at
+    # shuffle-partition count (parallelism = #clusters, skew bounded by
+    # _SEM_CLUSTER_CAP as before)
+    small = _spread(
+        small.withColumn("n2", _n2_double(F.col("v"))), "cent_id", force=True
+    )
     members = small.groupBy("cent_id").agg(
         F.collect_list(
             F.struct(
@@ -2877,12 +2914,9 @@ def _member_flags_arrow(small: DataFrame) -> DataFrame:
         vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
         d2 = tbl.column("d2").to_numpy(zero_copy_only=False)
         vcol = tbl.column("v")
-        X = (
-            (vcol.chunk(0) if isinstance(vcol, pa.ChunkedArray) else vcol)
-            .flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64, copy=False)
-            .reshape(len(vid), -1)
+        X = _np_matrix(
+            vcol.chunk(0) if isinstance(vcol, pa.ChunkedArray) else vcol,
+            "grouped-gemm-kernel",
         )
         starts = np.concatenate(
             ([0], np.flatnonzero(cent[1:] != cent[:-1]) + 1, [len(cent)])
@@ -3247,12 +3281,9 @@ def _store_compare_arrow(nv: DataFrame, small_k: DataFrame) -> DataFrame:
         vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
         isn = tbl.column("is_new").to_numpy(zero_copy_only=False)
         vcol = tbl.column("v")
-        X = (
-            (vcol.chunk(0) if isinstance(vcol, pa.ChunkedArray) else vcol)
-            .flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64, copy=False)
-            .reshape(len(vid), -1)
+        X = _np_matrix(
+            vcol.chunk(0) if isinstance(vcol, pa.ChunkedArray) else vcol,
+            "grouped-gemm-kernel",
         )
         starts = np.concatenate(
             ([0], np.flatnonzero(cent[1:] != cent[:-1]) + 1, [len(cent)])
@@ -3370,7 +3401,11 @@ def semantic_incremental_verdicts(
         # pair, count is order-independent so collect_list
         # nondeterminism cannot leak)
         k_members = (
-            small_k.withColumn("kn2", _n2_double(F.col("v")))
+            _spread(
+                small_k.withColumn("kn2", _n2_double(F.col("v"))),
+                "cent_id",
+                force=True,
+            )
             .groupBy("cent_id")
             .agg(
                 F.collect_list(
@@ -3393,8 +3428,13 @@ def semantic_incremental_verdicts(
                 >= F.lit(_SEM_DUP_MIN),
             )
         )
+        # same r8 pin as _semantic_flags_from: the per-new-vector fold
+        # over the kept list is a projection over this cent_id join —
+        # pin its layout so AQE's byte-based coalescing cannot
+        # serialize it
         cmp = (
-            nv.join(k_members, "cent_id")
+            _spread(nv, "cent_id", force=True)
+            .join(k_members, "cent_id")
             .withColumn("nsd", n_store)
             .where(F.col("nsd") > 0)
             .select(

@@ -209,22 +209,34 @@ def main() -> None:
             with open("/proc/loadavg") as lf:
                 loads.append(f"local[{cores}] rep{rep}: {lf.read().split()[0]}")
             res = _run_leg(cores, work)
+            if res.get("rows", 0) == 0:
+                # a zero-row deliverable means a pipeline stage
+                # annihilated the replication (see the _build marker
+                # comment) — the timings measure a degenerate chain;
+                # fail LOUDLY on the rep that produced it (ADVICE r7:
+                # the end-of-run check only saw the LAST rep, so an
+                # earlier degenerate rep was silently accepted)
+                raise RuntimeError(
+                    f"degenerate scaling rep: local[{cores}] rep{rep} "
+                    "produced a 0-row deliverable — fixture did not "
+                    "survive the chain"
+                )
             tgt = r4n if cores == N4_CORES else rn
             for k, v in res.items():
                 if k in keys and k in tgt:
                     tgt[k] = min(tgt[k], v)
                 else:
+                    # non-timing fields (rows, docs_in, caps): reps run
+                    # the identical deterministic plan, so these must
+                    # agree — assert instead of silently keeping the
+                    # last rep's value (ADVICE r7: min-of-timings could
+                    # otherwise mix reps with mismatched row evidence)
+                    if k in tgt and tgt[k] != v:
+                        raise RuntimeError(
+                            f"rep-to-rep mismatch for {k!r} on "
+                            f"local[{cores}]: {tgt[k]!r} vs {v!r}"
+                        )
                     tgt[k] = v
-
-    if rn.get("rows", 0) == 0 or r4n.get("rows", 0) == 0:
-        # a zero-row deliverable means a pipeline stage annihilated the
-        # replication (see the _build marker comment) — the timings
-        # measure a degenerate chain; fail LOUDLY instead of appending
-        # them as scaling evidence
-        raise RuntimeError(
-            f"degenerate scaling run: deliverable rows N={rn.get('rows')} "
-            f"4N={r4n.get('rows')} — fixture did not survive the chain"
-        )
 
     core_ratio = int(N4_CORES) / int(N_CORES)
 
