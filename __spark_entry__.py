@@ -27,39 +27,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # is the oldest, (3) the recently-re-verified rest. A semantics-changing
 # edit can then never coast on a stale green row.
 _PRIORITY = [
-    # -- tier 1: round-7 code changes ------------------------------------
-    # backend= threading touched these queries' construction paths (the
-    # registered fold defaults are unchanged by intent, which is exactly
-    # what a driver row must re-prove): the semantic family, the
-    # incremental family (whose fold store-compare also moved into a
-    # branch), kmeans_train, the LSH verify, and the composed deliverable
+    # -- tier 1a: round-8 PLAN-REWRITING changes (min-struct nearest
+    # ranking, centroid-means exchange elimination, assignment barriers,
+    # CC convergence-probe fusion, member-fold layout pins) — the
+    # riskiest semantics surface, every one must get a fresh row
     "semantic_dedup_incremental", "semantic_dedup_incremental_stats",
     "semantic_dedup", "semantic_dedup_stats", "cluster_prototypes",
-    "semantic_prep", "kmeans_train", "embedding_near_dup_lsh",
-    "corpus_prep_final",
-    # -- tier 2: oldest evidence first — augment_profiles' newest row is
-    # r1 (!), then the 13 untouched r3-stale queries
-    "augment_profiles",
-    "kmeans_step", "ann_recall", "ann_lsh_bucket",
-    "events_json_props", "events_pivot", "events_funnel",
-    "dedup_cross_source", "skew_stats", "fps_filter",
-    "flagship_extract", "span_seq", "ocr_clean", "media_frames",
-    # -- tier 3: latest driver row is r4 (43 queries; the 50-slot budget
-    # reaches ~26 of these after tiers 1-2 — the rest lead round 8)
-    "ann_ivf_probe", "ann_ivf_trained", "augment_assign", "bm25_score",
-    "boilerplate_phrases", "boilerplate_strip_stats", "corpus_prep",
-    "dataset_sample", "decontaminate", "decontaminate_join",
-    "distinct_sketch", "doc_chunking", "embedding_label_stats",
-    "events_asof_join", "events_hourly", "events_range_join",
-    "events_rollup", "events_sessions", "html_blocks",
-    "html_content_text", "html_main_text", "layout_reading_order",
-    "length_percentiles_agg", "media_sizes", "mixture_stats",
-    "multimodal_meta", "pack_blocks", "parse_image_batches", "pii_scrub",
-    "quality_filter", "quality_repetition", "refine_frames",
-    "refine_summary", "resize_checksum", "resize_dims", "simhash",
-    "simhash_near", "simhash_near_stats", "stratified_sample",
-    "substr_dup_spans", "tfidf_top_terms", "unigram_logprob",
-    # -- tier 4: green in r5/r6 (the registry default order appends the rest)
+    "semantic_prep", "kmeans_train", "kmeans_step", "ann_ivf_assign",
+    "ann_ivf_trained", "ann_ivf_probe", "ann_recall",
+    "corpus_prep_final", "dedup_best_of_cluster", "dedup_corpus",
+    "near_dup_components", "dedup_cross_source", "bloom_prefilter_stats",
+    # -- tier 1b: round-8-touched (the _spread parallelization rides
+    # under these) AND stale evidence (newest driver row r4/r5 per the
+    # r7 verdict) — touched+stale outranks touched+fresh
+    "quality_filter", "quality_repetition", "simhash", "simhash_near",
+    "simhash_near_stats", "substr_dup_spans", "tfidf_top_terms",
+    "unigram_logprob", "stratified_sample",
+    "substr_removal_spans", "dedup_substrings", "dedup_substr_keep_first",
+    "dedup_substr_apply", "corpus_prep_substr", "corpus_prep_substr_text",
+    "substr_dup_rate", "dedup_incremental", "paragraph_dedup",
+    "para_freq_filter", "corpus_prep_budget", "token_budget_sample",
+    "quality_deciles", "mixture_epochs", "mixture_expand",
+    "mixture_stats", "corpus_shuffle", "packing_stats",
+    # -- tier 1c: UNTOUCHED but r4-stale — this closes the rotation ask
+    # (after r8 no registered query's newest row predates r5)
+    "pii_scrub", "refine_frames", "refine_summary", "resize_checksum",
+    "resize_dims",
+    # (tiers 1a-1c = 50 names = the driver budget)
+    # -- tier 2: round-8-touched with fresh r6/r7 rows (spread-only,
+    # value-neutral by construction, full-registry crosscheck green)
+    "minhash_lsh", "minhash_lsh_stats", "minhash_sig",
+    "minhash_jaccard_verify", "dedup_exact", "ngram_jaccard",
+    "ngram_posting_drops", "doc_fingerprint", "quality_score",
+    "top_terms", "lang_id", "distinct_sketch", "bm25_score",
+    "vocab_coverage", "decontaminate", "decontaminate_join",
+    "corpus_prep", "doc_chunking", "length_percentiles",
+    "length_percentiles_agg", "pack_blocks", "token_stats",
+    "html_main_text", "html_blocks", "html_content_text",
+    "boilerplate_phrases", "boilerplate_strip_stats",
+    "layout_reading_order", "embedding_near_dup_lsh",
+    "embedding_near_dup", "embedding_label_stats", "ann_lsh_bucket",
+    "ann_cosine_topk",
+    # -- tier 3: untouched, green in r6/r7 (registry default appends)
 ]
 
 

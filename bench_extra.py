@@ -116,6 +116,11 @@ def main() -> None:
             spark, SF_DIR
         ),
         "corpus_prep_final": lambda: q_corpus_prep_final(spark, SF_DIR),
+        # VERDICT r7 ask #7: the composed deliverable's production
+        # (GEMM) cost, tracked alongside the family's other _arrow keys
+        "corpus_prep_final_arrow": lambda: q_corpus_prep_final(
+            spark, SF_DIR, backend="arrow"
+        ),
     }
     PLAIN = {
         "kmeans_step": lambda: qc.q_kmeans_step(spark, SF_DIR),

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from .queries_corpus import (
     _NORM_CTE,
+    _barrier,
     _docs,
     _hex15,
     _maybe_persist,
@@ -1158,10 +1159,15 @@ def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the false-positive rate among true misses in ppm — the number that
     says how much confirm-join traffic the position set saves."""
     wins = _windows(spark, sf_dir)
-    idx_fps = (
+    # _barrier (r8): the stats branches below reference each distinct
+    # fingerprint set 2-3x (bloom build, probe, true-dup semi, counts),
+    # and the doc_id%mod filters push below the window/md5 stage so
+    # exchange reuse never canonicalizes — without a barrier one action
+    # re-runs the fingerprint stage ~4x
+    idx_fps = _barrier(
         wins.where(F.col("doc_id") % _NEW_BATCH_MOD < 8).select("fp").distinct()
     )
-    new_fps = (
+    new_fps = _barrier(
         wins.where(F.col("doc_id") % _NEW_BATCH_MOD >= 8).select("fp").distinct()
     )
     maybe = bloom_maybe_fps(new_fps, build_bloom_filter(idx_fps))
