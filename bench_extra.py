@@ -157,6 +157,14 @@ def main() -> None:
         "quality_filter": lambda: qq.q_quality_filter(spark, SF_DIR),
         "dedup_cross_source": lambda: qq.q_dedup_cross_source(spark, SF_DIR),
         "flagship_extract": flagship_factory,
+        "quality_deciles": lambda: qq.q_quality_deciles(spark, SF_DIR),
+        "distinct_sketch": lambda: qq.q_distinct_sketch(spark, SF_DIR),
+        "vocab_coverage": lambda: qq.q_vocab_coverage(spark, SF_DIR),
+        "unigram_logprob": lambda: qq.q_unigram_logprob(spark, SF_DIR),
+        "paragraph_dedup": lambda: qsub.q_paragraph_dedup(spark, SF_DIR),
+        "para_freq_filter": lambda: qsub.q_para_freq_filter(spark, SF_DIR),
+        "simhash": lambda: qc.q_simhash(spark, SF_DIR),
+        "simhash_near": lambda: qc.q_simhash_near(spark, SF_DIR),
     }
 
     results: dict[str, float] = {}

@@ -49,15 +49,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _norm_docs(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     # _spread BEFORE the normalize projection (r8): the whitespace regex
     # plus everything stacked on norm (ngram explode, per-window md5,
-    # minhash/simhash signature folds) otherwise runs inside the scan's
+    # signature folds, quality signals) otherwise runs inside the scan's
     # task count — ONE task at bench scale (single-row-group parquet).
     # The exchange carries the pruned (doc_id, lang, text) columns once;
     # the conditional inside _spread skips it when the scan is already
     # parallel (real-scale inputs).
-    return _spread(_docs(spark, sf_dir), "doc_id").select(
+    #
+    # ``spread=False`` opts out for the consumers the r8 bench showed
+    # REGRESSING under the spread: cheap-explode + global-dedup shapes
+    # (distinct tokens/shingles, posting counts). There the single-task
+    # scan's map-side partial aggregation fully deduplicates before the
+    # exchange, while a 64-way spread ships up to one partial row per
+    # task per hot value — the extra shuffled rows cost more than the
+    # light map work the spread parallelizes (distinct_sketch
+    # 0.42->0.97 s, vocab_coverage 0.35->0.88 s measured before the
+    # opt-out).
+    d = _docs(spark, sf_dir)
+    if spread:
+        d = _spread(d, "doc_id")
+    return d.select(
         "doc_id", "lang", _NORM_SPARK(F.col("text")).alias("norm")
     )
 
@@ -204,8 +219,13 @@ def _nearest_ranked(d2: DataFrame, rank_max: int) -> DataFrame:
 def _shingles(
     spark: SparkSession, sf_dir: str, nd: DataFrame | None = None
 ) -> DataFrame:
+    # spread=False: every shingle consumer is an explode + global-
+    # dedup/count shape (minhash signatures, posting lists, probe-set
+    # semi-joins) — the regime where the single-task map-side dedup
+    # beats the spread (see _norm_docs; minhash_lsh 0.87->1.05 s and
+    # ngram_jaccard 1.66->2.10 s under the spread, reverted by this)
     if nd is None:
-        nd = _norm_docs(spark, sf_dir)
+        nd = _norm_docs(spark, sf_dir, spread=False)
     nd = nd.withColumn("t", F.split("norm", " "))
     return nd.select(
         "doc_id", F.explode(word_ngrams(F.col("t"), 3)).alias("shingle")
@@ -587,6 +607,14 @@ def connected_components(
             ).alias("comp"),
             labels["comp"].alias("_old"),
         )
+        if not use_reliable_checkpoint:
+            # stepped feeds BOTH the pointer-jump parent projection and
+            # the join's left side — a lazy barrier stops the neighbor-
+            # min join running twice per iteration (r8). Reliable mode
+            # keeps the pure plan: a mid-chain localCheckpoint would
+            # undo the recompute-after-executor-loss contract the
+            # caller asked for.
+            stepped = _barrier(stepped)
         # pointer jump: follow the label one hop (label table joined on
         # itself) — halves the remaining path length every iteration
         parent = stepped.select(
@@ -1921,7 +1949,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ between engines; decimal addition is exact, so the means are
     bit-identical. One shuffle on (cent_id, dim) after the in-row
     distance fold; the centroid table broadcasts."""
-    assign = _ivf_assign(spark, sf_dir, 1).select("vec_id", "cent_id", "d2")
+    # _barrier (r8): the step references the assignment twice (member
+    # means + inertia); with the min-struct form the distance fold sits
+    # above the last exchange and would re-run per reference
+    assign = _barrier(
+        _ivf_assign(spark, sf_dir, 1).select("vec_id", "cent_id", "d2")
+    )
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     dec = lambda c: F.round(c.cast("double"), 9).cast("decimal(25,9)")  # noqa: E731
     vals = assign.join(e, "vec_id").select(

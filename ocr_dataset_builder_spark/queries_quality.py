@@ -591,7 +591,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-sorted logprob list IN-ROW — a deterministic summation
     order, because a float `avg()` aggregation is order-dependent and
     would never hash-match across engines."""
-    nd = _norm_docs(spark, sf_dir).withColumn("t", F.split("norm", " "))
+    nd = _norm_docs(spark, sf_dir, spread=False).withColumn("t", F.split("norm", " "))
     toks = nd.select(
         "doc_id", F.posexplode("t").alias("pos", "tok")
     )
@@ -892,7 +892,7 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash) distinct values then a bounded top-k — mergeable across
     partitions the way production sketches are (min of unions =
     union of mins)."""
-    nd = _norm_docs(spark, sf_dir)
+    nd = _norm_docs(spark, sf_dir, spread=False)
     src = _docs(spark, sf_dir).select("doc_id", "source")
     toks = (
         nd.join(src, "doc_id")
@@ -1205,15 +1205,22 @@ def q_token_budget_sample(
     pack_offsets — bucket totals, a window over the tiny bucket
     relation, then per-bucket local windows. Every window in the plan
     is over a relation with a proven size bound."""
-    from .queries_corpus import _maybe_persist, q_quality_score
+    from .queries_corpus import _barrier, _maybe_persist, q_quality_score
 
     qsc = q_quality_score(spark, sf_dir).select(
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality"
     )
     src = _docs(spark, sf_dir).select("doc_id", "source")
-    d = _maybe_persist(
-        qsc.where(F.col("quality").isNotNull()).join(src, "doc_id"),
-        storage_level,
+    # _barrier (r8): budget_fill references this narrow scored relation
+    # in four branches; without it each branch re-ran the quality
+    # signals (and, with the r8 _spread under quality_score, each
+    # branch carried its own repartition exchange — measured +89% on
+    # this key before the barrier)
+    d = _barrier(
+        _maybe_persist(
+            qsc.where(F.col("quality").isNotNull()).join(src, "doc_id"),
+            storage_level,
+        )
     )
     return budget_fill(d)
 
@@ -1639,12 +1646,15 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     each decile's rank interval in closed form — a group spans <= 10
     deciles, so the explode is bounded. Unscoreable (NULL-quality)
     docs are excluded, as in the budget fill."""
-    from .queries_corpus import q_quality_score
+    from .queries_corpus import _barrier, q_quality_score
 
     qsc = q_quality_score(spark, sf_dir).select("doc_id", "quality")
     src = _docs(spark, sf_dir).select("doc_id", "source")
     d = qsc.where(F.col("quality").isNotNull()).join(src, "doc_id")
-    g = d.groupBy("source", "quality").agg(F.count("*").alias("c"))
+    # _barrier (r8): the decile intersection references the tiny
+    # (source, quality) group relation twice (n_src + join) — without
+    # it the whole quality subtree re-ran per reference
+    g = _barrier(d.groupBy("source", "quality").agg(F.count("*").alias("c")))
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("quality").asc())
@@ -1732,7 +1742,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab joins back as a broadcast. The per-source rollup is a
     second partial agg. Nothing is ever ranked per source."""
     toks = (
-        _norm_docs(spark, sf_dir)
+        _norm_docs(spark, sf_dir, spread=False)
         .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
         .select("source", F.explode(F.split("norm", " ")).alias("tok"))
     )

@@ -805,7 +805,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate paragraph shared by 10^7 docs reduces per map task) +
     one keyed join back + one doc_id shuffle for the re-assembly;
     chunking itself is in-row (sequence + slice), no Python anywhere."""
-    paras = _para_rows(_norm_docs(spark, sf_dir))
+    paras = _para_rows(_norm_docs(spark, sf_dir, spread=False))
     keep = paras.groupBy("fp").agg(
         F.min(F.struct("doc_id", "para_idx")).alias("keep")
     )
@@ -900,7 +900,7 @@ def q_para_freq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny relation the planner broadcasts for the back-join; re-assembly
     is one doc_id shuffle with per-doc bounded state. No windows, no
     Python, nothing quadratic."""
-    paras = _para_rows(_norm_docs(spark, sf_dir))
+    paras = _para_rows(_norm_docs(spark, sf_dir, spread=False))
     doc_freq = (
         paras.select("fp", "doc_id")
         .distinct()

@@ -31,6 +31,17 @@ def _assert_only_deliberate_spread(plan: str) -> None:
             raise AssertionError(f"unexpected exchange: {line}\n{plan}")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clean_cache(spark):
+    """Plan gates must see the PURE plans: earlier tests exercise the
+    storage_level persist knobs on shared relations and a leaked cache
+    entry substitutes an InMemoryRelation into any later query whose
+    subtree canonically matches (its printed form carries the cached
+    child's Final+Initial AQE plans, double-counting FileScan)."""
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="module")
 def nested_on_disk(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("nested") / "docs")
