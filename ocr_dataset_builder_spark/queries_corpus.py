@@ -887,8 +887,16 @@ _SIMHASH_BITS = 60  # the full width of the portable md5-prefix token hash.
 _HAMMING_MAX = 3
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nd = _norm_docs(spark, sf_dir)
+def q_simhash(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    # spread=False is the banded-near path's knob: the standalone query
+    # wins under the spread (0.46 -> 0.34 s, the per-token md5+bit fold
+    # parallelizes), but the near-dup composition's bucket collect +
+    # fan-out measured consistently SLOWER with spread bands (0.65 ->
+    # ~1.0 s across three full-bench runs) — the groupBy's map-side
+    # assembly beats the spread at bench scale there
+    nd = _norm_docs(spark, sf_dir, spread=spread)
     toks = nd.select(
         "doc_id", F.explode(F.array_distinct(F.split("norm", " "))).alias("tok")
     ).withColumn("h", _hex15(F.col("tok")))
@@ -932,7 +940,7 @@ _SIMHASH_BUCKET_CAP = 64  # degenerate-bucket guard, same rationale as
 
 
 def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = q_simhash(spark, sf_dir)
+    s = q_simhash(spark, sf_dir, spread=False)
     band_vals = F.array(
         *[
             F.shiftright("simhash", b * _SIM_BAND_BITS)
@@ -1152,8 +1160,10 @@ _BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, word/number tokens, and a
     BPE-ish pretokenizer count (the standard 'how many LLM tokens is
-    this corpus' pre-estimate) — all JVM regexp kernels, one scan."""
-    d = _spread(_docs(spark, sf_dir), "doc_id")
+    this corpus' pre-estimate) — all JVM regexp kernels, one scan (the
+    r8 spread was tried here and reverted: +37% — the regexp work at
+    bench scale is lighter than the full-text exchange it buys)."""
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),

@@ -1855,7 +1855,13 @@ def q_corpus_prep_budget(
     )
     # doc_id leads the struct and is unique, so the lexicographic min
     # never reaches the nullable quality field
-    canon = (
+    from .queries_corpus import _barrier
+
+    # _barrier (r8): budget_fill references the canonical relation in
+    # four branches; this one is NARROW (4 scalar columns) so the lazy
+    # materialization is cheap — unlike the r6-rejected persist of the
+    # WIDE survivor relation (docstring above), which serialized text
+    canon = _barrier(
         fp.groupBy("fp")
         .agg(F.min(F.struct("doc_id", "source", "n_tokens", "quality")).alias("c"))
         .select("c.doc_id", "c.source", "c.n_tokens", "c.quality")

@@ -972,7 +972,11 @@ def _incremental_removal_starts(
     joins on the compact fingerprint + the skew-safe min-struct
     keep-first agg (_keep_first_removals) — the batch never joins
     itself pairwise, and the index relation needs only its fp column."""
-    idx = index_fps.select("fp").distinct()
+    # _barrier (r8): hit + miss reference BOTH relations twice, and the
+    # window/fingerprint stage (with its r8 spread) would re-run per
+    # branch — same fix as bloom_prefilter_stats
+    idx = _barrier(index_fps.select("fp").distinct())
+    new_wins = _barrier(new_wins)
     hit = new_wins.join(idx, "fp", "leftsemi").select("doc_id", "start0")
     miss = new_wins.join(idx, "fp", "left_anti")
     return hit.unionByName(_keep_first_removals(miss))
