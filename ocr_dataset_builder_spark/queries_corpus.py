@@ -1967,7 +1967,9 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     dec = lambda c: F.round(c.cast("double"), 9).cast("decimal(25,9)")  # noqa: E731
-    vals = assign.join(e, "vec_id").select(
+    # same keyed spread as _centroid_means: both downstream groupBys
+    # then run exchange-free on the (already-barriered) n-row assignment
+    vals = _spread(assign, "cent_id", force=True).join(e, "vec_id").select(
         "cent_id", F.posexplode("embedding").alias("dim", "val")
     )
     per = vals.groupBy("cent_id", "dim").agg(
@@ -2032,8 +2034,10 @@ def _centroid_means(assign: DataFrame, e: DataFrame) -> DataFrame:
     # further exchanges — previously each agg exchanged the n*dim
     # exploded rows (plan: 3 Exchange -> 1, and the one that remains
     # carries n rows, not n*dim). Decimal addition is exact, so the
-    # changed row routing cannot move a value.
-    vals = _spread(assign, "cent_id").join(e, "vec_id").select(
+    # changed row routing cannot move a value. force=True: this spread
+    # exists for its KEY layout, which the partition-count heuristic
+    # cannot see (interleaved A/B: 0.87 -> 0.36 s per means force).
+    vals = _spread(assign, "cent_id", force=True).join(e, "vec_id").select(
         "cent_id", F.posexplode("v").alias("dim", "val")
     )
     per = vals.groupBy("cent_id", "dim").agg(
@@ -2222,11 +2226,14 @@ def _trained_centroids(
             "vec_id", "cent_id"
         )
         # per-iteration localCheckpoint: keeps the lineage flat AND pays
-        # for each Lloyd step exactly once. (r8 re-measured the lazy
-        # alternative — no checkpoints, one action runs the unrolled
+        # for each Lloyd step exactly once. (r8 re-measured the
+        # NO-checkpoint alternative — one action runs the unrolled
         # chain: every downstream reference re-executes the trainer
         # subtree (broadcast-exchange reuse does NOT rescue it) and the
         # family got 20-85% slower; see OPTIMIZATION_r08.md.)
+        # (eager=False was also measured r8: interleaved A/B min 3.192
+        # vs 3.218 s — indistinguishable; the eager per-iteration job
+        # is kept for its simpler execution story.)
         cent = _centroid_means(assign, e).localCheckpoint()
     return e, cent
 
